@@ -1,0 +1,104 @@
+"""Report aggregates (SURVEY §2.4, G1-G5) — the per-sink aggregate set whose
+counts must equal the reference's routed-row counts exactly.
+
+Reference computations are driver-side Counters over the parsed stream
+(examples/pan_dynamic_parser.py:1040-1095); here they are hash aggregates
+with Catalyst partial/final planning. Determinism gaps are pinned per
+SURVEY §8.6: top-k ties break (count desc, value asc); "first sample" orders
+by the input-derived (url, line_ordinal) identity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .parse import STATUS_OK
+
+
+def count_rows_and_errors(parsed: DataFrame) -> DataFrame:
+    """G1: total lines vs error(=non-ok) lines, one row."""
+    return parsed.agg(
+        F.count("*").alias("total_logs"),
+        F.sum(F.when(F.col("status") != STATUS_OK, 1).otherwise(0)).alias("errors"),
+    )
+
+
+def count_by_log_type(parsed: DataFrame) -> DataFrame:
+    """G2: routed-row counts per log type, ordered (count desc, type asc)."""
+    return (
+        parsed.filter(F.col("status") == STATUS_OK)
+        .groupBy("log_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("log_type"))
+    )
+
+
+def count_by(projected: DataFrame, dim: str) -> DataFrame:
+    """G3: counts of a parsed dimension where present (e.g. action)."""
+    return (
+        projected.filter(F.col(dim).isNotNull())
+        .groupBy(dim)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc(dim))
+    )
+
+
+def top_k(projected: DataFrame, dim: str, k: int = 10) -> DataFrame:
+    """G4: top-k values of a dimension with the pinned tie-break
+    (count desc, value asc). Catalyst plans this as a partial agg +
+    TakeOrderedAndProject — no full sort at scale."""
+    return (
+        projected.filter(F.col(dim).isNotNull())
+        .groupBy(dim)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc(dim))
+        .limit(k)
+    )
+
+
+def first_sample_per_type(parsed: DataFrame,
+                          types: Optional[Iterable[str]] = None) -> DataFrame:
+    """G5: the first ok record of each log type, "first" = min (url,
+    line_ordinal) — a deterministic total order derived from the input, not
+    from partition scheduling. Implemented as min_by over a struct (single
+    shuffle-free-able agg) rather than a window sort."""
+    df = parsed.filter(F.col("status") == STATUS_OK)
+    if types is not None:
+        df = df.filter(F.col("log_type").isin(list(types)))
+    key = F.struct(F.col("url"), F.col("line_ordinal"))
+    return (
+        df.groupBy("log_type")
+        .agg(
+            F.min_by(F.col("url"), key).alias("url"),
+            F.min_by(F.col("line_ordinal"), key).alias("line_ordinal"),
+            F.min_by(F.col("line"), key).alias("line"),
+            F.min_by(F.col("hash64"), key).alias("hash64"),
+        )
+        .orderBy("log_type")
+    )
+
+
+def report(parsed: DataFrame, traffic_projected: DataFrame, k: int = 10) -> dict:
+    """The reference's end-of-run JSON report shape
+    (pan_dynamic_parser.py:1284-1310): totals, per-type counts, action
+    counts, top-k sources/destinations/applications. Small aggregates are
+    collected to the driver like the reference's report sink (S5)."""
+    totals = count_rows_and_errors(parsed).collect()[0]
+    by_type = count_by_log_type(parsed).collect()
+    actions = count_by(traffic_projected, "action").collect()
+    tops = {
+        dim: [(r[dim], r["n"]) for r in top_k(traffic_projected, dim, k).collect()]
+        for dim in ("source_address", "destination_address", "application")
+    }
+    return {
+        "total_logs": totals["total_logs"],
+        "errors": totals["errors"],
+        "by_log_type": [(r["log_type"], r["n"]) for r in by_type],
+        "by_action": [(r["action"], r["n"]) for r in actions],
+        "top_sources": tops["source_address"],
+        "top_destinations": tops["destination_address"],
+        "top_applications": tops["application"],
+    }

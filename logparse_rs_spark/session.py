@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the pipeline.
+
+Local mode is the sandbox stand-in for a multi-executor cluster; every knob
+here scales with cores so the same code runs under spark-submit on a real
+cluster (see plans/submit.py for the --py-files path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "logparse_rs_spark", cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    - shuffle partitions ≈ cores locally (cluster deployments raise it to
+      ~2-3x total executor cores; at 100 TB you want thousands, sized so a
+      post-shuffle partition is 100-500 MB — AQE coalescing trims the rest).
+    - AQE on: runtime partition coalescing + skew-join splitting.
+    - Arrow batches sized so the Python parse stage amortizes crossing costs
+      (the analog of the reference's --batch-size knob, README.md:283).
+    """
+    cores = cores or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark at sf0.01 and the matching oracle_sql() through DuckDB, compare
+row-count, schema (column names), and an order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import duckdb  # noqa: E402
+
+
+def norm_cell(v):
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode("utf-8", "replace"))
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from logparse_rs_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-check", cores=8, shuffle_partitions=16)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for name in ["region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"]:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP-ORACLE {name}: rows={len(srows)} (rows-only check)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            drows = res.fetchall()
+            dcols = [d[0] for d in res.description]
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} != {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema {sorted(scols)} != {sorted(dcols)}")
+        else:
+            sh, dh = value_hash(srows, scols), value_hash(drows, dcols)
+            if sh != dh:
+                problems.append(f"value-hash {sh} != {dh}")
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+            if len(srows) <= 12 and len(drows) <= 12:
+                print("  spark :", sorted(srows)[:12])
+                print("  duckdb:", sorted(drows)[:12])
+        else:
+            print(f"OK   {name}: rows={len(srows)}")
+    print("failures:", failures)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
