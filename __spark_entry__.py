@@ -136,6 +136,133 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pre = project_type(parsed, schema, "TRAFFIC", columns=DIMS)
         return audit_table(pre, anon, DIMS)
 
+    def log_enrich_lang_counts(spark, sf_dir):
+        from logparse_rs_spark.operators.enrich import enrich_with_lang
+        parsed = _parsed(spark, sf_dir).filter("status = 'ok'")
+        return (enrich_with_lang(parsed, spark)
+                .groupBy("lang_name", "lang_family")
+                .agg(F.count("*").alias("n")))
+
+    def log_include_all_field3(spark, sf_dir):
+        from logparse_rs_spark.operators.parse import include_all_map
+        parsed = _parsed(spark, sf_dir).filter("status = 'ok'")
+        m = include_all_map(parsed)
+        return (parsed.withColumn("f3", m.getItem("field_3"))
+                .groupBy("f3").agg(F.count("*").alias("n")))
+
+    # ---- training-data operators over the driver-provided tables ----------
+
+    def _docs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _emb(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def doc_exact_dedup(spark, sf_dir):
+        from logparse_rs_spark.operators.dedup import exact_dedup
+        return exact_dedup(_docs(spark, sf_dir)).select("doc_id", "dup_count")
+
+    def doc_quality(spark, sf_dir):
+        from logparse_rs_spark.operators.text import quality_score
+        return quality_score(_docs(spark, sf_dir))
+
+    def doc_token_counts(spark, sf_dir):
+        from logparse_rs_spark.operators.text import token_counts
+        return token_counts(_docs(spark, sf_dir))
+
+    def doc_lang_id(spark, sf_dir):
+        from logparse_rs_spark.operators.text import language_id
+        return language_id(_docs(spark, sf_dir))
+
+    def doc_ngram_jaccard(spark, sf_dir):
+        from logparse_rs_spark.operators.dedup import ngram_jaccard
+        docs = _docs(spark, sf_dir)
+        ids = docs.filter("doc_id < 6").select("doc_id")
+        a, b = ids.alias("a"), ids.alias("b")
+        pairs = (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+                 .select(F.col("a.doc_id").alias("id_a"),
+                         F.col("b.doc_id").alias("id_b")))
+        return ngram_jaccard(docs, pairs, n=3) \
+            .withColumn("jaccard", F.round("jaccard", 6))
+
+    def doc_minhash_pairs(spark, sf_dir):
+        from logparse_rs_spark.operators.dedup import (
+            minhash_lsh_pairs, minhash_signatures)
+        sigs = minhash_signatures(_docs(spark, sf_dir), num_perm=64)
+        return minhash_lsh_pairs(sigs, bands=16)
+
+    def doc_simhash_candidates(spark, sf_dir):
+        from logparse_rs_spark.operators.dedup import (
+            simhash, simhash_candidates)
+        return simhash_candidates(simhash(_docs(spark, sf_dir)))
+
+    def doc_fingerprint_fnv(spark, sf_dir):
+        from logparse_rs_spark.operators.text import fingerprint
+        return fingerprint(_docs(spark, sf_dir), exact_fnv=True)
+
+    def emb_bruteforce_topk(spark, sf_dir):
+        from logparse_rs_spark.operators.similarity import brute_force_topk
+        emb = _emb(spark, sf_dir)
+        queries_df = (emb.filter("vec_id < 3")
+                      .select(F.col("vec_id").alias("query_id"), "embedding"))
+        return brute_force_topk(emb, queries_df, k=5) \
+            .withColumn("cos_sim", F.round("cos_sim", 6))
+
+    def emb_lsh_topk(spark, sf_dir):
+        from logparse_rs_spark.operators.similarity import lsh_topk
+        emb = _emb(spark, sf_dir)
+        dim = len(emb.select("embedding").first()["embedding"])
+        queries_df = (emb.filter("vec_id < 3")
+                      .select(F.col("vec_id").alias("query_id"), "embedding"))
+        return lsh_topk(emb, queries_df, dim=dim, k=5, n_planes=32, bands=8)
+
+    # ---- general OLAP operators over the TPC-H-ish tables -------------------
+
+    def tpch_q1(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+        )
+
+    def events_top_users(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (ev.groupBy("user_id").agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), F.asc("user_id")).limit(10))
+
+    def events_5min_windows(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (
+            ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n", "sum_value")
+        )
+
+    def events_sessionization(spark, sf_dir):
+        from pyspark.sql import Window
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # parquet gives TIMESTAMP_NTZ; go via timestamp_ltz (session tz UTC)
+        # for epoch seconds — matches DuckDB's epoch() on the naive value
+        secs = F.col("ts").cast("timestamp_ltz").cast("long")
+        gap = secs - F.lag(secs).over(w)
+        return (
+            ev.withColumn("new_session",
+                          (gap.isNull() | (gap > 1800)).cast("int"))
+            .groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+        )
+
     return {
         "log_route_counts": log_route_counts,
         "log_status_counts": log_status_counts,
@@ -145,6 +272,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_url_hash_xor": log_url_hash_xor,
         "log_first_sample_per_type": log_first_sample_per_type,
         "log_integrity_table": log_integrity_table,
+        "log_enrich_lang_counts": log_enrich_lang_counts,
+        "log_include_all_field3": log_include_all_field3,
+        "doc_exact_dedup": doc_exact_dedup,
+        "doc_quality": doc_quality,
+        "doc_token_counts": doc_token_counts,
+        "doc_lang_id": doc_lang_id,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
+        "doc_minhash_pairs": doc_minhash_pairs,
+        "doc_simhash_candidates": doc_simhash_candidates,
+        "doc_fingerprint_fnv": doc_fingerprint_fnv,
+        "emb_bruteforce_topk": emb_bruteforce_topk,
+        "emb_lsh_topk": emb_lsh_topk,
+        "tpch_q1": tpch_q1,
+        "events_top_users": events_top_users,
+        "events_5min_windows": events_5min_windows,
+        "events_sessionization": events_sessionization,
     }
 
 
@@ -202,5 +345,161 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT field, original, replacement FROM (
               {integrity_union}
             )
+        """,
+        "log_enrich_lang_counts": f"""
+            SELECT d.lang_name, d.lang_family, COUNT(*) AS n
+            FROM {E} e
+            JOIN (VALUES ('en','English','germanic'),
+                         ('de','German','germanic'),
+                         ('fr','French','romance'),
+                         ('es','Spanish','romance'),
+                         ('unknown','Unknown','unknown'))
+                 d(lang, lang_name, lang_family)
+              ON e.lang = d.lang
+            WHERE e.status = 'ok'
+            GROUP BY 1, 2
+        """,
+        "log_include_all_field3": f"""
+            SELECT log_type AS f3, COUNT(*) AS n FROM {E}
+            WHERE status = 'ok' GROUP BY log_type
+        """,
+        "doc_exact_dedup": r"""
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents
+            GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        """,
+        "doc_quality": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+                     ' ' || lower(text) || ' ' AS p
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_chars, n_words,
+                     CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0 END AS alpha_ratio,
+                     CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0 END AS punct_ratio,
+                     ((instr(p,' the ')>0)::int + (instr(p,' a ')>0)::int
+                      + (instr(p,' an ')>0)::int + (instr(p,' and ')>0)::int
+                      + (instr(p,' or ')>0)::int + (instr(p,' of ')>0)::int
+                      + (instr(p,' to ')>0)::int + (instr(p,' in ')>0)::int
+                      + (instr(p,' is ')>0)::int + (instr(p,' it ')>0)::int
+                     ) / 10.0 AS stop_ratio,
+                     CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1.0
+                          WHEN n_chars >= 50 THEN 0.5 ELSE 0.0 END AS len_band
+              FROM f)
+            SELECT doc_id, n_chars, n_words,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stop_ratio, 6) AS stop_ratio,
+                   round(0.4*alpha_ratio + 0.3*stop_ratio + 0.2*len_band
+                         + 0.1*(1.0 - least(punct_ratio*10.0, 1.0)), 6) AS quality
+            FROM r
+        """,
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE
+                     len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                                     x -> x <> '')) END::BIGINT AS alnum_runs,
+                   length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::BIGINT
+                     AS symbol_chars,
+                   (CASE WHEN trim(text) = '' THEN 0 ELSE
+                      len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
+                                      x -> x <> '')) END
+                    + floor((length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) + 3) / 4)
+                    + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                   )::BIGINT AS bpe_token_est
+            FROM documents
+        """,
+        "doc_lang_id": """
+            WITH s AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+            sc AS (SELECT doc_id,
+              ((instr(p,' the ')>0)::int + (instr(p,' and ')>0)::int
+               + (instr(p,' of ')>0)::int + (instr(p,' to ')>0)::int) AS s_en,
+              ((instr(p,' der ')>0)::int + (instr(p,' und ')>0)::int
+               + (instr(p,' die ')>0)::int + (instr(p,' nicht ')>0)::int) AS s_de,
+              ((instr(p,' le ')>0)::int + (instr(p,' la ')>0)::int
+               + (instr(p,' les ')>0)::int + (instr(p,' est ')>0)::int) AS s_fr,
+              ((instr(p,' el ')>0)::int + (instr(p,' los ')>0)::int
+               + (instr(p,' que ')>0)::int + (instr(p,' es ')>0)::int) AS s_es
+              FROM s)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'unknown'
+                        WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+                        WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+                        WHEN s_es = greatest(s_en,s_de,s_fr,s_es) THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   greatest(s_en,s_de,s_fr,s_es) AS lang_score
+            FROM sc
+        """,
+        "doc_ngram_jaccard": r"""
+            WITH n AS (SELECT doc_id,
+                              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                       FROM documents WHERE doc_id < 6),
+            g AS (SELECT doc_id,
+                         CASE WHEN length(t) >= 3 THEN
+                           list_distinct(list_transform(
+                             range(1, length(t) - 1),
+                             i -> substr(t, i::int, 3)))
+                         ELSE [] END AS grams
+                  FROM n)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))
+                         / len(list_distinct(list_concat(a.grams, b.grams))),
+                         6) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+        """,
+        "emb_bruteforce_topk": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3)
+            SELECT q.query_id, v.vec_id,
+                   round(list_cosine_similarity(v.e, q.qe), 6) AS cos_sim,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(v.e, q.qe) DESC,
+                              v.vec_id ASC) AS rank
+            FROM v CROSS JOIN q
+            QUALIFY rank <= 5
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_top_users": """
+            SELECT user_id, COUNT(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10
+        """,
+        "events_5min_windows": """
+            SELECT make_timestamp(
+                     (floor(epoch(ts) / 300) * 300 * 1000000)::BIGINT
+                   ) AS window_start,
+                   event_type, COUNT(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionization": """
+            SELECT user_id, SUM(new_session) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) GROUP BY user_id
         """,
     }

@@ -1,0 +1,210 @@
+#!/usr/bin/env python3
+"""Benchmark harness — prints ONE JSON line.
+
+Phases:
+1. headline: full pipeline (parse -> enrich -> anonymize -> route -> aggregate)
+   over the deterministic bench pages table at local[CPUS]; metric = docs/sec
+   end-to-end wall (BASELINE.json primary metric).
+2. queries: every __spark_entry__.queries() entry timed at $SPARK_GRAFT_SF_DIR.
+3. scaling: the identical pipeline + input at local[N] and local[4N]
+   (subprocesses — one JVM each), efficiency = T_N / (4 * T_4N); the sandbox
+   stand-in for the north rule's N -> 4N executor criterion (BASELINE.md §4).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores),
+     BENCH_PAGES / BENCH_SCALING=0 to override sizing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+BENCH_PAGES_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
+
+# Measured on this sandbox (BENCH/NOTES.md §6): one JVM with >8 task threads
+# hits a hypervisor-level anti-scaling cliff (2-8x slowdowns, high system
+# time, huge variance), while <=8 threads are stable. The scaling
+# demonstration therefore runs the identical job at N=2 and 4N=8 cores, and
+# the headline run uses 8 cores — both overridable via env.
+HEADLINE_CORES = int(os.environ.get("BENCH_HEADLINE_CORES", "8"))
+SCALING_N = int(os.environ.get("BENCH_SCALING_N", "2"))
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "2"))
+
+
+def _sf_tag(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base if base in BENCH_PAGES_BY_SF else "sf0.1"
+
+
+def ensure_bench_pages(n_pages: int, cores: int) -> str:
+    """Materialize the bench-scale pages table once (Spark-parallel gen)."""
+    path = os.path.join(ROOT, ".fixtures", f"bench_pages_n{n_pages}.parquet")
+    if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)):
+        return path
+    from logparse_rs_spark.fixtures import write_pages_parquet_distributed
+    from logparse_rs_spark.session import get_spark
+
+    spark = get_spark("bench-gen", cores=cores)
+    write_pages_parquet_distributed(spark, path, n_pages)
+    spark.stop()
+    return path
+
+
+def run_pipeline_subprocess(cores: int, pages_path: str,
+                            warmup_pages: int = 500) -> dict:
+    """Run the pipeline in a fresh subprocess/JVM at local[cores]."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--pipeline-worker",
+         str(cores), pages_path, str(warmup_pages)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"pipeline worker failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def pipeline_worker(cores: int, pages_path: str, warmup_pages: int) -> None:
+    from pyspark.sql import functions as F
+
+    from logparse_rs_spark.plans.pipeline import (
+        PipelineConfig, default_sinks, run_pipeline)
+    from logparse_rs_spark.schema import load_schema
+    from logparse_rs_spark.session import get_spark
+
+    schema = load_schema(os.path.join(ROOT, "schemas", "schema.json"))
+    # IDENTICAL job layout at every parallelism level: shuffle partitions and
+    # pipeline task partitions are dataset properties (fixed), the core count
+    # is the only variable — exactly how an N vs 4N executor comparison works
+    # on a real cluster.
+    fixed_parts = int(os.environ.get("BENCH_PARTITIONS", "64"))
+    spark = get_spark("bench-pipeline", cores=cores,
+                      shuffle_partitions=fixed_parts)
+    pages = spark.read.parquet(pages_path)
+
+    def make_cfg(root):
+        # identical job definition at every parallelism level: ONLY the task
+        # parallelism scales with cores (the cluster-size analog); bucket
+        # count is a property of the dataset, not of the cluster
+        return PipelineConfig(
+            schema_path=os.path.join(ROOT, "schemas", "schema.json"),
+            anonymizer_path=os.path.join(ROOT, "configs",
+                                         "anonymizer.sample.json"),
+            out_root=root,
+            sinks=default_sinks(schema),
+            n_buckets=int(os.environ.get("BENCH_BUCKETS", "64")),
+            partitions_per_run=fixed_parts,
+        )
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+    try:
+        # warmup: spin up python workers, JIT, codegen
+        warm = pages.limit(warmup_pages)
+        run_pipeline(spark, warm, make_cfg(os.path.join(tmp, "warm")),
+                     resume=False)
+
+        cfg = make_cfg(os.path.join(tmp, "run"))
+        t0 = time.perf_counter()
+        result = run_pipeline(spark, pages, cfg, resume=False)
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "cores": cores,
+            "wall_s": round(wall, 3),
+            "docs": result.docs_in,
+            "lines": result.lines_in,
+            "docs_per_sec": round(result.docs_in / wall, 1),
+            "lines_per_sec": round(result.lines_in / wall, 1),
+            "per_sink_rows": result.per_sink_rows,
+            "timings": result.timings,
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def time_queries(sf_dir: str, cores: int) -> dict:
+    import __spark_entry__ as entrymod
+    from logparse_rs_spark.session import get_spark
+
+    spark = get_spark("bench-queries", cores=cores,
+                      shuffle_partitions=max(2 * cores, 8))
+    qs = entrymod.queries()
+    timings = {}
+    for name, fn in qs.items():
+        try:
+            fn(spark, sf_dir).collect()  # warm (also materializes fixtures)
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            timings[name] = f"error: {e.__class__.__name__}"
+    spark.stop()
+    return timings
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-worker":
+        pipeline_worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    tag = _sf_tag(sf_dir)
+    n_pages = int(os.environ.get("BENCH_PAGES", BENCH_PAGES_BY_SF[tag]))
+
+    pages_path = ensure_bench_pages(n_pages, cores)
+
+    def best_of(cores_n: int, repeats: int) -> dict:
+        """min-wall of `repeats` runs — the noise-floor estimator on this
+        high-variance host."""
+        runs = [run_pipeline_subprocess(cores_n, pages_path)
+                for _ in range(repeats)]
+        return min(runs, key=lambda r: r["wall_s"])
+
+    # headline: identical full pipeline at the stable peak parallelism
+    high = best_of(min(HEADLINE_CORES, cores), BENCH_REPEATS)
+
+    scaling = None
+    if os.environ.get("BENCH_SCALING", "1") != "0" and cores >= 4 * SCALING_N:
+        low = best_of(SCALING_N, BENCH_REPEATS)
+        high4n = (high if HEADLINE_CORES == 4 * SCALING_N
+                  else best_of(4 * SCALING_N, BENCH_REPEATS))
+        eff = low["wall_s"] / (4.0 * high4n["wall_s"])
+        scaling = {
+            "n_cores": SCALING_N,
+            "4n_cores": 4 * SCALING_N,
+            "wall_s_n": low["wall_s"],
+            "wall_s_4n": high4n["wall_s"],
+            "docs_per_sec_n": low["docs_per_sec"],
+            "docs_per_sec_4n": high4n["docs_per_sec"],
+            "efficiency": round(eff, 3),
+        }
+
+    queries = time_queries(sf_dir, min(HEADLINE_CORES, cores))
+
+    print(json.dumps({
+        "metric": "pipeline_e2e_wall",
+        "value": high["wall_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": tag,
+        "docs": high["docs"],
+        "lines": high["lines"],
+        "docs_per_sec": high["docs_per_sec"],
+        "lines_per_sec": high["lines_per_sec"],
+        "cores": min(HEADLINE_CORES, cores),
+        "cores_available": cores,
+        "scaling": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    main()

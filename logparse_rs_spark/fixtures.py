@@ -98,48 +98,86 @@ def make_line(rng: np.random.Generator, log_type: str,
     return ",".join(fields)
 
 
-def generate_pages(n_pages: int, seed: int = SEED) -> Dict[str, list]:
-    """Columnar dict for the pages table (FIXTURES.md §1)."""
-    rng = np.random.default_rng(seed)
+def make_page(seq: int, idx_map: Dict[str, int], seed: int = SEED) -> Dict:
+    """One deterministic page. Each page derives its own rng from
+    (seed, seq), so generation is order-independent — pytest builds pages in
+    a driver loop while bench builds the same bytes in parallel on Spark."""
+    rng = np.random.default_rng([seed, seq])
+    domain = DOMAINS[int(rng.choice(len(DOMAINS), p=_DOMAIN_WEIGHTS))]
+    lang = LANGS[int(rng.choice(len(LANGS), p=_LANG_WEIGHTS))]
+    n_lines = int(rng.integers(1, 21))
+    with_prefix = rng.random() < 0.10
+    lines: List[str] = []
+    for _ in range(n_lines):
+        r = rng.random()
+        if r < 0.01:
+            line = ""  # empty line
+        elif r < 0.015:
+            # malformed: unknown type token at index 3
+            line = f"1,2025/01/01,xx,BOGUS{int(rng.integers(10))},oops,1"
+        elif r < 0.02:
+            # malformed: fewer than 4 CSV fields (type not extractable)
+            line = "short,line," if rng.random() < 0.5 else "just,two"
+        else:
+            t = LOG_TYPES[int(rng.choice(len(LOG_TYPES), p=_TYPE_WEIGHTS))]
+            line = make_line(rng, t, idx_map)
+        if with_prefix and line:
+            line = SYSLOG_PREFIX.format(host=f"host{int(rng.integers(5))}") + line
+        lines.append(line)
+    text = "\n".join(lines)
+    base_ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+    return {
+        "url": f"https://{domain}/page{seq:06d}",
+        "warc_ts": base_ts + dt.timedelta(seconds=seq),
+        "html": b"<html><body><pre>" + text.encode("utf-8") + b"</pre></body></html>",
+        "text": text,
+        "lang": lang,
+    }
+
+
+def _idx_map() -> Dict[str, int]:
     from .schema import load_schema
     schema = load_schema(os.path.join(os.path.dirname(__file__), "..",
                                       "schemas", "schema.json"))
-    idx_map = _traffic_indices(schema)
+    return _traffic_indices(schema)
 
-    domain_idx = rng.choice(len(DOMAINS), size=n_pages, p=_DOMAIN_WEIGHTS)
-    lang_idx = rng.choice(len(LANGS), size=n_pages, p=_LANG_WEIGHTS)
-    n_lines = rng.integers(1, 21, size=n_pages)
-    base_ts = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
 
-    urls, tss, htmls, texts, langs = [], [], [], [], []
-    for seq in range(n_pages):
-        domain = DOMAINS[int(domain_idx[seq])]
-        url = f"https://{domain}/page{seq:06d}"
-        with_prefix = rng.random() < 0.10
-        lines: List[str] = []
-        for _ in range(int(n_lines[seq])):
-            r = rng.random()
-            if r < 0.01:
-                line = ""  # empty line
-            elif r < 0.015:
-                # malformed: unknown type token at index 3
-                line = f"1,2025/01/01,xx,BOGUS{int(rng.integers(10))},oops,1"
-            elif r < 0.02:
-                # malformed: fewer than 4 CSV fields (type not extractable)
-                line = "short,line," if rng.random() < 0.5 else "just,two"
-            else:
-                t = LOG_TYPES[int(rng.choice(len(LOG_TYPES), p=_TYPE_WEIGHTS))]
-                line = make_line(rng, t, idx_map)
-            if with_prefix and line:
-                line = SYSLOG_PREFIX.format(host=f"host{int(rng.integers(5))}") + line
-            lines.append(line)
-        text = "\n".join(lines)
-        urls.append(url)
-        tss.append(base_ts + dt.timedelta(seconds=seq))
-        htmls.append(b"<html><body><pre>" + text.encode("utf-8") + b"</pre></body></html>")
-        texts.append(text)
-        langs.append(LANGS[int(lang_idx[seq])])
-    return {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
+def generate_pages(n_pages: int, seed: int = SEED) -> Dict[str, list]:
+    """Columnar dict for the pages table (FIXTURES.md §1), driver-side."""
+    idx_map = _idx_map()
+    rows = [make_page(seq, idx_map, seed) for seq in range(n_pages)]
+    return {k: [r[k] for r in rows] for k in
+            ("url", "warc_ts", "html", "text", "lang")}
+
+
+def write_pages_parquet_distributed(spark, path: str, n_pages: int,
+                                    seed: int = SEED,
+                                    partitions: Optional[int] = None) -> str:
+    """Generate the identical pages table in parallel on Spark (bench scale).
+    Same bytes as generate_pages because every page seeds its own rng."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import types as T
+
+    idx_map = _idx_map()
+    parts = partitions or max(int(spark.sparkContext.defaultParallelism), 8)
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ])
+
+    def gen(iterator):
+        import pandas as pd
+        for pdf in iterator:
+            rows = [make_page(int(s), idx_map, seed) for s in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    (spark.range(0, n_pages, numPartitions=parts)
+     .mapInPandas(gen, schema=schema)
+     .write.mode("overwrite").parquet(path))
+    return path
 
 
 def write_pages_parquet(path: str, n_pages: int, seed: int = SEED,
@@ -164,10 +202,14 @@ def write_pages_parquet(path: str, n_pages: int, seed: int = SEED,
 
 def expected_records(pages: Dict[str, list], schema: CompiledSchema,
                      anon: Optional[CompiledAnonymizer] = None) -> List[dict]:
-    """Run the canonical pure-Python pipeline over every page (the oracle)."""
+    """Run the canonical pure-Python pipeline over every page (the oracle).
+    Each record also carries the page's lang (enrichment-join oracle key)."""
     out: List[dict] = []
-    for url, text in zip(pages["url"], pages["text"]):
-        out.extend(extract_page_records(url, text, schema, anon))
+    for url, text, lang in zip(pages["url"], pages["text"], pages["lang"]):
+        recs = extract_page_records(url, text, schema, anon)
+        for r in recs:
+            r["lang"] = lang
+        out.extend(recs)
     return out
 
 
@@ -193,7 +235,7 @@ def write_expected_parquet(path: str, pages: Dict[str, list],
     anon_recs = expected_records(pages, schema, anon) if anon is not None else None
     cols: Dict[str, list] = {
         "url": [], "line_ordinal": [], "status": [], "log_type": [],
-        "line": [], "hash64": [], "raw_excerpt": [],
+        "line": [], "hash64": [], "raw_excerpt": [], "lang": [],
     }
     for d in dims:
         cols[d] = []
@@ -208,6 +250,7 @@ def write_expected_parquet(path: str, pages: Dict[str, list],
         h = r["hash64"]
         cols["hash64"].append(None if h is None else (h - (1 << 64) if h >= (1 << 63) else h))
         cols["raw_excerpt"].append(r["raw_excerpt"])
+        cols["lang"].append(r["lang"])
         parsed = r["parsed"] or {}
         parsed_anon = (anon_recs[i]["parsed"] or {}) if anon_recs is not None else {}
         for d in dims:
@@ -222,6 +265,7 @@ def write_expected_parquet(path: str, pages: Dict[str, list],
         "line": pa.array(cols["line"], pa.string()),
         "hash64": pa.array(cols["hash64"], pa.int64()),
         "raw_excerpt": pa.array(cols["raw_excerpt"], pa.string()),
+        "lang": pa.array(cols["lang"], pa.string()),
     }
     for d in dims:
         arrays[d] = pa.array(cols[d], pa.string())

@@ -1,0 +1,223 @@
+"""Deduplication operators over a documents table (training-data pipeline
+components; no reference counterpart — designed Spark-first for 100 TB).
+
+Strategies:
+- exact_dedup          : hash-groupBy on a normalized-text digest. One shuffle
+                         on a 64-bit key; min_by keeps the canonical survivor.
+- minhash_lsh_dedup    : shingle -> minhash (k permutations, vectorized numpy)
+                         -> band buckets -> self-join within buckets ->
+                         connected pairs. Candidate generation is a
+                         groupBy(band_key) instead of an O(n^2) cross join;
+                         at scale each band bucket is tiny, and the band key
+                         is uniform by construction (it's a hash).
+- simhash_dedup        : 64-bit simhash + Hamming-ball banding (4 x 16-bit
+                         chunks -> near-dup candidates must share a chunk).
+- ngram_jaccard_pairs  : exact Jaccard on character n-gram sets for a
+                         candidate pair list (verification stage after LSH).
+
+All heavy per-doc math is Arrow-batched numpy; joins are equi-joins on
+hash-uniform keys (no skew); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# deterministic 64-bit mix constants (splitmix64)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * _MIX1
+    x = (x ^ (x >> np.uint64(27))) * _MIX2
+    return x ^ (x >> np.uint64(31))
+
+
+def normalized_text(col) -> F.Column:
+    """Canonical text normalization for dedup keys: lowercase, collapse
+    whitespace, trim — all JVM-side."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical doc (min id) per distinct normalized text.
+    xxhash64 on the normalized text gives a uniform 8-byte shuffle key —
+    grouping by the raw text would shuffle whole documents."""
+    key = F.xxhash64(normalized_text(F.col(text_col))).alias("text_key")
+    return (
+        docs.select(F.col(id_col), key)
+        .groupBy("text_key")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def _char_shingle_hashes(texts: pd.Series, k: int) -> list:
+    """Per-doc array of 64-bit char-k-shingle hashes (vectorized per doc via
+    numpy sliding windows over the byte sequence)."""
+    out = []
+    for t in texts.fillna(""):
+        b = np.frombuffer(t.lower().encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < k:
+            out.append(np.zeros(0, dtype=np.uint64))
+            continue
+        # polynomial rolling-hash via strided windows: hash = mix(sum b*P^i)
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        powers = np.power(np.uint64(1099511628211),
+                          np.arange(k, dtype=np.uint64))
+        h = _splitmix64((win * powers).sum(axis=1))
+        out.append(np.unique(h))
+    return out
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 64,
+                       shingle_k: int = 5) -> DataFrame:
+    """(id, sig array<long>) — minhash over char-k shingles with num_perm
+    affine permutations computed as one (n_shingles x num_perm) numpy min."""
+    a = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+    b = _splitmix64(np.arange(1001, 1001 + num_perm, dtype=np.uint64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        shingles = _char_shingle_hashes(texts, shingle_k)
+        sigs = []
+        for h in shingles:
+            if len(h) == 0:
+                sigs.append(np.zeros(num_perm, dtype=np.int64))
+                continue
+            # (n, p) affine permutation; min over shingles per permutation
+            vals = h[:, None] * a[None, :] + b[None, :]
+            sigs.append(vals.min(axis=0).view(np.int64))
+        return pd.Series([s.tolist() for s in sigs], index=texts.index)
+
+    return docs.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                      bands: int = 16) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
+    num_perm must be divisible by bands. Pure DataFrame ops:
+    explode band hashes -> groupBy bucket self-join -> distinct pairs."""
+    sig_len_df = signatures.select(F.size("sig").alias("n")).limit(1).collect()
+    rows_per_band = (sig_len_df[0]["n"] // bands) if sig_len_df else 0
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band),
+                    i,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.bucket") == F.col("r.bucket"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            shingle_k: int = 4) -> DataFrame:
+    """64-bit simhash per doc: sign-sum of shingle-hash bit vectors."""
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        shingles = _char_shingle_hashes(texts, shingle_k)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for i, h in enumerate(shingles):
+            if len(h) == 0:
+                continue
+            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1))
+            score = bits.astype(np.int64).sum(axis=0) * 2 - len(h)
+            v = np.uint64(0)
+            for j in range(64):
+                if score[j] > 0:
+                    v |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(v.astype(np.uint64).view(np.int64))
+        return pd.Series(out, index=texts.index)
+
+    return docs.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
+                       chunks: int = 4) -> DataFrame:
+    """Near-dup candidates: pairs sharing at least one 16-bit simhash chunk
+    (any pair within Hamming distance chunks-1 must collide in some chunk)."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunked = sim.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(F.array(*[
+            (F.shiftrightunsigned(F.col("simhash"), i * width)
+             .bitwiseAND(F.lit(mask)))
+            for i in range(chunks)
+        ])).alias("chunk_idx", "chunk_val"),
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+               & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.simhash").alias("sim_a"),
+                F.col("r.simhash").alias("sim_b"))
+        .distinct()
+    )
+    # exact Hamming distance JVM-side: popcount via bit_count
+    return pairs.withColumn(
+        "hamming",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+    ).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Exact char-n-gram Jaccard for candidate pairs (the verify stage after
+    LSH). Shingle sets are computed once per doc and joined to the pairs —
+    two broadcast-able joins, set math JVM-side via array functions."""
+    grams = docs.select(
+        F.col(id_col),
+        F.array_distinct(_ngram_array(F.col(text_col), n)).alias("grams"),
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    return (
+        pairs.join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
+        .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("a.grams", "b.grams"))
+             / F.size(F.array_union("a.grams", "b.grams"))).alias("jaccard"),
+        )
+    )
+
+
+def _ngram_array(col, n: int) -> F.Column:
+    """Char n-grams as an array column, JVM-side: substr over a sequence."""
+    norm = normalized_text(col)
+    return F.when(
+        F.length(norm) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            lambda i: F.substring(norm, 1, 0x7FFFFFFF).substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

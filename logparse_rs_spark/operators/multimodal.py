@@ -1,0 +1,146 @@
+"""Multimodal column handling: image/audio/video as opaque binary columns
+with typed metadata, plus decode / feature-extract / resize / frame-sample
+operators whose Spark-side plumbing (schema, partitioning, Arrow batch shape,
+UDF signatures) is real and tested while the codec step itself is stubbed —
+the sandbox image has no image/audio libraries (see DECODE_BACKEND).
+
+Pattern at 100 TB: binaries ride in their own column so Catalyst's column
+pruning keeps them out of every query that doesn't touch them; decode runs in
+mapInPandas with a SMALL maxRecordsPerBatch (binary rows are fat — batch
+size is bytes-bound, not row-bound); outputs are fixed-size feature vectors
+so downstream shuffles never move the raw bytes again.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# "pillow" / "soundfile" when available; the deterministic fake keeps the
+# pipeline testable in this container.
+DECODE_BACKEND = "deterministic-fake"
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_type", T.StringType()),     # image|audio|video
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("format_tag", T.StringType()),     # sniffed magic bytes
+    T.StructField("digest", T.StringType()),         # sha256 (lineage key)
+])
+
+_MAGIC = [
+    (b"\x89PNG", "png"), (b"\xff\xd8\xff", "jpeg"), (b"GIF8", "gif"),
+    (b"RIFF", "riff"), (b"OggS", "ogg"), (b"\x1aE\xdf\xa3", "matroska"),
+]
+
+
+def _sniff(b: bytes) -> str:
+    for magic, tag in _MAGIC:
+        if b.startswith(magic):
+            return tag
+    return "unknown"
+
+
+def media_metadata(df: DataFrame, binary_col: str = "html",
+                   media_type: str = "image") -> DataFrame:
+    """Typed metadata struct for an opaque binary column. sha256 digest is
+    the content-addressed lineage key (dedup before decode: identical bytes
+    decode once)."""
+
+    @F.pandas_udf(MEDIA_META_SCHEMA)
+    def meta(blobs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in blobs:
+            b = b or b""
+            rows.append({
+                "media_type": media_type,
+                "n_bytes": len(b),
+                "format_tag": _sniff(b),
+                "digest": hashlib.sha256(b).hexdigest(),
+            })
+        return pd.DataFrame(rows)
+
+    return df.withColumn("media_meta", meta(F.col(binary_col)))
+
+
+def _fake_decode(blob: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic stand-in for a real image decode: bytes -> (h, w) float
+    grid derived from a seeded rng keyed on the content digest. Replace with
+    PIL.Image.open when the codec backend exists."""
+    seed = int.from_bytes(hashlib.sha256(blob or b"").digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.random((h, w), dtype=np.float64)
+
+
+def decode_and_featurize(df: DataFrame, binary_col: str = "html",
+                         resize_to: int = 8,
+                         strict: bool = False) -> DataFrame:
+    """image decode -> resize(resize_to x resize_to) -> flatten features.
+
+    strict=True raises NotImplementedError (no codec library in this
+    container); strict=False uses the deterministic fake so the Spark
+    plumbing — schema array<double> of fixed len, batch iteration, null
+    handling — is fully exercised."""
+    out_schema = T.StructType(
+        df.schema.fields + [
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    n = resize_to
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real image decode requires a codec library "
+                f"(backend={DECODE_BACKEND}); install pillow and swap "
+                "_fake_decode for PIL-based decode")
+        for pdf in batches:
+            feats = []
+            for b in pdf[binary_col]:
+                if b is None or len(b) == 0:
+                    feats.append(None)
+                else:
+                    feats.append(_fake_decode(bytes(b), n, n).reshape(-1).tolist())
+            yield pdf.assign(features=feats)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, binary_col: str = "html",
+                 every_n: int = 10, max_frames: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame index
+    with a frame digest (fake: slices of the content digest). The explode
+    shape — row per (url, frame_idx) — is what a real ffmpeg-backed sampler
+    produces."""
+    frames_schema = T.ArrayType(T.StructType([
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]))
+
+    @F.pandas_udf(frames_schema)
+    def sample(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            b = bytes(b or b"")
+            n_fake_frames = max(len(b) // max(every_n, 1), 1)
+            idxs = list(range(0, n_fake_frames, every_n))[:max_frames]
+            d = hashlib.sha256(b).hexdigest()
+            out.append([
+                {"frame_idx": i, "frame_digest": d[i % 32: i % 32 + 16]}
+                for i in idxs
+            ])
+        return pd.Series(out, index=blobs.index)
+
+    return (
+        df.withColumn("frames", sample(F.col(binary_col)))
+        .withColumn("frame", F.explode("frames"))
+        .drop("frames")
+        .select("*", F.col("frame.frame_idx").alias("frame_idx"),
+                F.col("frame.frame_digest").alias("frame_digest"))
+        .drop("frame")
+    )

@@ -54,12 +54,12 @@ def parse_lines(lines: DataFrame, schema: CompiledSchema,
                 raw_col: str = "raw_line") -> DataFrame:
     """Attach line/hash64/fields/log_type/status to exploded lines."""
     known = list(schema.type_to_fields)
-    n_fields = F.size(F.col("fields"))
+    n_fields = F.size(F.col("_fields"))
     # extract_field(line, 3) edge semantics (tokenizer.rs:4-65): value when
     # >=4 fields; phantom "" when exactly 3 fields and no trailing comma;
     # otherwise null (malformed).
     log_type = (
-        F.when(n_fields >= 4, F.get(F.col("fields"), 3))
+        F.when(n_fields >= 4, F.get(F.col("_fields"), 3))
         .when((n_fields == 3) & ~F.col("line").endswith(","), F.lit(""))
         .otherwise(F.lit(None).cast("string"))
     )
@@ -70,16 +70,16 @@ def parse_lines(lines: DataFrame, schema: CompiledSchema,
         .withColumns({
             "line": line_of(F.col(raw_col)),
             "_hash64": hash64_of(F.col(raw_col)),
-            "_qfields": qfields_of(F.col(raw_col)),
+            "qfields": qfields_of(F.col(raw_col)),
         })
         .drop(raw_col)
-        .withColumn(
-            "fields",
-            F.when(F.col("line") == "", F.array().cast("array<string>"))
-            .otherwise(F.coalesce(F.col("_qfields"),
-                                  F.split(F.col("line"), ",", -1))),
-        )
-        .drop("_qfields")
+        # NOTE: the split fields array is deliberately NOT part of the parse
+        # output — storing/caching a 46-117 element array per row costs more
+        # than recomputing the JVM split at projection time (measured ~1.6x
+        # on the staging write and the wide sink writes). `qfields` (null for
+        # quote-free lines) persists the Python-exact split so the Python
+        # stage never re-runs downstream; fields_col() rebuilds the array.
+        .withColumn("_fields", _fields_expr())
         .withColumn("log_type", log_type)
         .withColumn(
             "status",
@@ -88,6 +88,7 @@ def parse_lines(lines: DataFrame, schema: CompiledSchema,
             .when(~F.col("log_type").isin(known), F.lit(STATUS_UNKNOWN))
             .otherwise(F.lit(STATUS_OK)),
         )
+        .drop("_fields")
         .withColumn("hash64",
                     F.when(F.col("status") == STATUS_OK, F.col("_hash64")))
         .drop("_hash64")
@@ -96,6 +97,19 @@ def parse_lines(lines: DataFrame, schema: CompiledSchema,
                            F.substring(F.col("line"), 1, 256)))
     )
     return df
+
+
+def _fields_expr() -> Column:
+    return (
+        F.when(F.col("line") == "", F.array().cast("array<string>"))
+        .otherwise(F.coalesce(F.col("qfields"),
+                              F.split(F.col("line"), ",", -1)))
+    )
+
+
+def fields_col(parsed: DataFrame) -> DataFrame:
+    """Attach the split-fields array (recomputed from line/qfields)."""
+    return parsed.withColumn("fields", _fields_expr())
 
 
 def parse_pages(pages: DataFrame, schema: CompiledSchema,
@@ -113,7 +127,8 @@ def project_type(parsed: DataFrame, schema: CompiledSchema, log_type: str,
                  columns: Optional[Iterable[str]] = None,
                  anon: Optional[CompiledAnonymizer] = None,
                  include_identity: bool = True,
-                 include_enrichment: bool = True) -> DataFrame:
+                 include_enrichment: bool = True,
+                 extra_cols: Iterable[str] = ()) -> DataFrame:
     """Project the ok-rows of one log type to named columns.
 
     Positional zip of the type's sanitized names with the split fields;
@@ -138,9 +153,11 @@ def project_type(parsed: DataFrame, schema: CompiledSchema, log_type: str,
         out_cols.append(c.alias(name))
     if include_enrichment:
         out_cols += [F.col("raw_excerpt"), F.col("hash64")]
+    out_cols += [F.col(c) for c in extra_cols]
     return (
         parsed
         .filter((F.col("status") == STATUS_OK) & (F.col("log_type") == log_type))
+        .withColumn("fields", _fields_expr())
         .select(*out_cols)
     )
 
@@ -151,13 +168,14 @@ def include_all_map(parsed: DataFrame) -> Column:
     Schema-named keys stay in their own columns; merging (schema keys win)
     happens at read time via map_concat semantics if callers need the union.
     """
+    fields = _fields_expr()
     # guard: sequence(0, -1) would produce a DESCENDING sequence on empties
     return F.when(
-        F.size(F.col("fields")) > 0,
+        F.size(fields) > 0,
         F.map_from_arrays(
-            F.transform(F.sequence(F.lit(0), F.size(F.col("fields")) - 1),
+            F.transform(F.sequence(F.lit(0), F.size(fields) - 1),
                         lambda i: F.concat(F.lit("field_"), i.cast("string"))),
-            F.col("fields"),
+            fields,
         ),
     ).otherwise(F.map_from_arrays(F.array().cast("array<string>"),
                                   F.array().cast("array<string>")))

@@ -1,0 +1,136 @@
+"""Text-analysis operators for the training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Design rule: everything SQL-expressible stays JVM-side (these four are, so
+their oracles are plain DuckDB SQL); only the rolling-hash fingerprint uses
+the FNV kernel via an Arrow-batched UDF when exact reference hashing is
+wanted — the default fingerprint is xxhash64 (built-in, zero Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny fixed stopword list — deterministic and SQL-replicable
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# n-gram heuristic language markers (deterministic, oracle-replicable):
+# score(lang) = number of marker substrings present, weighted by position
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to "],
+    "de": [" der ", " und ", " die ", " nicht "],
+    "fr": [" le ", " la ", " les ", " est "],
+    "es": [" el ", " los ", " que ", " es "],
+}
+
+
+def _padded(col) -> F.Column:
+    return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """N-gram-marker language ID: count marker hits per language, pick the
+    max with a deterministic tie-break (score desc, lang asc); no hits ->
+    'unknown'. Pure JVM expressions — one projection, no shuffle."""
+    padded = _padded(F.col(text_col))
+    scores = [
+        F.struct(
+            sum((F.instr(padded, m) > 0).cast("int") for m in markers)
+            .alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # array_max on struct(score, lang): max score, tie -> max lang; to get
+    # tie -> MIN lang deterministically, compare on (score, negated-lang) is
+    # awkward JVM-side, so sort desc by score then asc by lang via sort_array
+    # on struct(-score, lang) and take element 1.
+    best = F.sort_array(
+        F.array(*[
+            F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang"),
+                     s["score"].alias("score"))
+            for s in scores
+        ])
+    )[0]
+    return docs.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
+        .alias("lang_pred"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality features + composite score in [0,1]:
+    length band, alpha ratio, punctuation ratio, stopword hit ratio,
+    mean word length band. All JVM-side string ops."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.when(F.trim(text) == "", 0).otherwise(F.size(words))
+    padded = _padded(text)
+    stop_hits = sum(
+        (F.instr(padded, f" {w} ") > 0).cast("int") for w in STOPWORDS
+    )
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = stop_hits / float(len(STOPWORDS))
+    len_band = F.when((n_chars >= 200) & (n_chars <= 20000), 1.0) \
+        .when(n_chars >= 50, 0.5).otherwise(0.0)
+    score = (0.4 * alpha_ratio + 0.3 * stop_ratio + 0.2 * len_band
+             + 0.1 * (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate: alnum runs count 1 per
+    ceil(len/4) (the 'four chars per token' rule of thumb) and every
+    non-space symbol counts 1. Deterministic and SQL-replicable."""
+    text = F.col(text_col)
+    trimmed = F.trim(text)
+    ws_tokens = F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+")))
+    n_sym = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    alnum_chars = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
+    alnum_runs = F.when(trimmed == "", 0).otherwise(
+        F.size(F.filter(F.split(text, r"[^A-Za-z0-9]+"),
+                        lambda x: x != "")))
+    bpe_est = (alnum_runs + F.floor((alnum_chars + 3) / 4) + n_sym)
+    return docs.select(
+        F.col(id_col),
+        ws_tokens.alias("ws_tokens"),
+        alnum_runs.cast("long").alias("alnum_runs"),
+        n_sym.cast("long").alias("symbol_chars"),
+        bpe_est.cast("long").alias("bpe_token_est"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", exact_fnv: bool = False) -> DataFrame:
+    """64-bit document fingerprint over normalized text. Default: xxhash64
+    (pure JVM). exact_fnv=True uses the reference's FNV-1a kernel instead
+    (Arrow-batched) when cross-system reproducibility of the reference's
+    hash64 is required."""
+    from .dedup import normalized_text
+
+    norm = normalized_text(F.col(text_col))
+    if exact_fnv:
+        from ..functions import fnv1a_col
+        fp = fnv1a_col(norm)
+    else:
+        fp = F.xxhash64(norm)
+    return docs.select(F.col(id_col), fp.alias("fingerprint"))

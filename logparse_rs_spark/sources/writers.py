@@ -1,0 +1,121 @@
+"""Sink writer abstraction (SURVEY §2.1 S3/S5/S6, §2.7 M1).
+
+Production target is Iceberg (`df.writeTo(table).overwritePartitions()`);
+this sandbox has no Iceberg jars, so the default implementation is a parquet
+directory layout with Hive-style partitioning and DYNAMIC partition overwrite
+— the same idempotent replace-only-touched-partitions semantics the resume
+path (M4) relies on. The Iceberg writer activates automatically when the
+runtime has the Iceberg Spark extension on the classpath.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class ParquetWriter:
+    """Parquet-directory sink with dynamic partition overwrite.
+
+    Relies on spark.sql.sources.partitionOverwriteMode=dynamic (set by
+    session.get_spark) so mode="overwrite" replaces ONLY the partitions
+    present in `df` — replaying a bucket is idempotent.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write(self, df: DataFrame, table: str,
+              partition_by: Optional[Iterable[str]] = None,
+              mode: str = "overwrite",
+              overwrite_mode: Optional[str] = None) -> str:
+        """overwrite_mode: None inherits the session's (dynamic — replace
+        only the partitions present in df); "static" truncates the whole
+        table first (for per-run scratch like the parse stage, where stale
+        partitions from a previous run must not survive)."""
+        w = df.write.mode(mode)
+        if overwrite_mode:
+            w = w.option("partitionOverwriteMode", overwrite_mode)
+        if partition_by:
+            w = w.partitionBy(*list(partition_by))
+        out = self.path(table)
+        w.parquet(out)
+        return out
+
+    def append(self, df: DataFrame, table: str,
+               partition_by: Optional[Iterable[str]] = None) -> str:
+        return self.write(df, table, partition_by, mode="append")
+
+    def read(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
+        p = self.path(table)
+        if not _has_parquet(p):
+            return None
+        return spark.read.parquet(p)
+
+    def tables(self) -> List[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+
+class IcebergWriter:
+    """Iceberg sink: writeTo(...).overwritePartitions() for idempotent bucket
+    replays, createOrReplace on first write. Requires the Iceberg Spark
+    runtime jars + a configured catalog; constructor raises if absent so
+    callers fall back to ParquetWriter."""
+
+    def __init__(self, spark: SparkSession, namespace: str):
+        if not iceberg_available(spark):
+            raise RuntimeError("Iceberg Spark runtime not on the classpath")
+        self.spark = spark
+        self.namespace = namespace
+
+    def write(self, df: DataFrame, table: str,
+              partition_by: Optional[Iterable[str]] = None,
+              mode: str = "overwrite") -> str:
+        fq = f"{self.namespace}.{table}"
+        writer = df.writeTo(fq)
+        if partition_by:
+            from pyspark.sql import functions as F
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if not self.spark.catalog.tableExists(fq):
+            writer.create()
+        elif mode == "append":
+            df.writeTo(fq).append()
+        else:
+            df.writeTo(fq).overwritePartitions()
+        return fq
+
+
+def _has_parquet(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def make_writer(spark: SparkSession, root: str):
+    """Prefer Iceberg when the runtime supports it; parquet otherwise."""
+    try:
+        return IcebergWriter(spark, root)
+    except Exception:
+        return ParquetWriter(root)

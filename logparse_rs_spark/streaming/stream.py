@@ -1,0 +1,113 @@
+"""Structured Streaming front-end for the pipeline (SURVEY §2.1 S4, §2.6 O4/O5).
+
+The reference's streaming surfaces — a per-line iterator (rust_accel.py:473)
+and an asyncio-queue HTTP ingest loop (README.md:437-470) — map to Structured
+Streaming: a file/directory (or socket/Kafka in production) readStream of
+pages, processed per micro-batch by the SAME batch pipeline via foreachBatch
+(exactly-once per micro-batch against the idempotent bucket-overwrite sinks),
+plus native watermarked windowed aggregates for the report counters.
+
+Schema hot-reload (schema.rs:97-115) happens here: every micro-batch re-checks
+the schema file's mtime and recompiles before parsing — the streaming analog
+of the reference's mtime-guarded reload.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.parse import parse_pages
+from ..schema import CompiledSchema, load_schema
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("warc_ts", T.TimestampType()),
+    T.StructField("html", T.BinaryType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+])
+
+
+def read_pages_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 4) -> DataFrame:
+    """File-source stream of pages (each new parquet file = new data)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+class HotReloadingSchema:
+    """Per-micro-batch schema reload keyed on file mtime (S7 hot reload)."""
+
+    def __init__(self, schema_path: str):
+        self.schema_path = schema_path
+        self._compiled: Optional[CompiledSchema] = None
+
+    def get(self) -> CompiledSchema:
+        if self._compiled is None or self._compiled.stale():
+            self._compiled = load_schema(self.schema_path)
+        return self._compiled
+
+
+def stream_pipeline(spark: SparkSession, pages_stream: DataFrame,
+                    schema_path: str, checkpoint_dir: str,
+                    batch_fn: Callable[[DataFrame, int, CompiledSchema], None]):
+    """foreachBatch driver: parse each micro-batch with the (hot-reloaded)
+    schema and hand the parsed DataFrame to batch_fn(df, epoch, schema) —
+    typically a closure around plans.pipeline sinks. The checkpoint dir gives
+    exactly-once micro-batch tracking; the sinks' idempotent bucket overwrite
+    makes replays after failure safe (same guarantee as the batch ledger)."""
+    reloader = HotReloadingSchema(schema_path)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        schema = reloader.get()
+        parsed = parse_pages(batch_df, schema)
+        batch_fn(parsed, epoch_id, schema)
+
+    return (
+        pages_stream.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def streaming_type_counts(pages_stream: DataFrame, schema: CompiledSchema,
+                          watermark: str = "10 minutes",
+                          window: str = "5 minutes") -> DataFrame:
+    """Native watermarked windowed aggregate: routed-row counts per log type
+    per event-time window of warc_ts (late pages beyond the watermark are
+    dropped deterministically)."""
+    parsed = parse_pages(
+        pages_stream.withWatermark("warc_ts", watermark),
+        schema, keep_cols=("lang", "warc_ts"))
+    return (
+        parsed.filter(F.col("status") == "ok")
+        .groupBy(F.window("warc_ts", window), F.col("log_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, src_dir: str,
+                         schema_path: str, query_name: str = "stream_counts"
+                         ) -> DataFrame:
+    """Drive a bounded stream to completion (availableNow) aggregating routed
+    counts into an in-memory sink — the smoke-test surface for streaming."""
+    schema = load_schema(schema_path)
+    stream = read_pages_stream(spark, src_dir)
+    agg = streaming_type_counts(stream, schema)
+    # complete mode: append would hold back windows the watermark hasn't
+    # closed, which on a bounded smoke stream means zero emitted rows
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(query_name)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

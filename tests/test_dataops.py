@@ -1,0 +1,240 @@
+"""Tests for the training-data operators (dedup / text analysis / similarity /
+multimodal plumbing) against independent numpy/pure-Python computations on
+the driver-provided testdata tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+class TestExactDedup:
+    def test_matches_python(self, spark, docs):
+        from logparse_rs_spark.operators.dedup import exact_dedup
+        got = exact_dedup(docs).agg(
+            F.count("*").alias("groups"), F.sum("dup_count").alias("total")
+        ).collect()[0]
+        rows = docs.select("doc_id", "text").collect()
+        import re
+        norm = {}
+        for r in rows:
+            key = re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+            norm.setdefault(key, []).append(r["doc_id"])
+        assert got["groups"] == len(norm)
+        assert got["total"] == len(rows)
+
+    def test_survivor_is_min_id(self, spark, docs):
+        from logparse_rs_spark.operators.dedup import exact_dedup
+        d2 = docs.union(docs)  # force duplicates
+        res = exact_dedup(d2)
+        assert res.filter("dup_count < 2").count() == 0
+        one = res.limit(5).collect()
+        assert all(r["doc_id"] is not None for r in one)
+
+
+class TestMinHash:
+    def test_identical_docs_always_pair(self, spark, docs):
+        from logparse_rs_spark.operators.dedup import (
+            minhash_lsh_pairs, minhash_signatures)
+        base = docs.limit(20).select("doc_id", "text")
+        clones = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        sigs = minhash_signatures(base.union(clones), num_perm=64)
+        pairs = minhash_lsh_pairs(sigs, bands=16)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        for r in base.collect():
+            assert (r["doc_id"], r["doc_id"] + 1_000_000) in got
+
+    def test_signature_determinism(self, spark, docs):
+        from logparse_rs_spark.operators.dedup import minhash_signatures
+        s1 = minhash_signatures(docs.limit(10)).collect()
+        s2 = minhash_signatures(docs.limit(10)).collect()
+        assert sorted(map(str, s1)) == sorted(map(str, s2))
+
+
+class TestSimHash:
+    def test_identical_docs_hamming_zero(self, spark, docs):
+        from logparse_rs_spark.operators.dedup import (
+            simhash, simhash_candidates)
+        base = docs.limit(15).select("doc_id", "text")
+        clones = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        sims = simhash(base.union(clones))
+        cands = simhash_candidates(sims)
+        exact = {(r["id_a"], r["id_b"]): r["hamming"] for r in cands.collect()}
+        for r in base.collect():
+            key = (r["doc_id"], r["doc_id"] + 1_000_000)
+            assert key in exact and exact[key] == 0
+
+
+class TestNgramJaccard:
+    def test_self_pair_jaccard_one(self, spark, docs):
+        from logparse_rs_spark.operators.dedup import ngram_jaccard
+        base = docs.limit(10).select("doc_id", "text")
+        clones = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        both = base.union(clones)
+        pairs = base.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1_000_000).alias("id_b"))
+        out = ngram_jaccard(both, pairs)
+        for r in out.collect():
+            assert r["jaccard"] == pytest.approx(1.0)
+
+    def test_jaccard_matches_python(self, spark, docs):
+        from logparse_rs_spark.operators.dedup import ngram_jaccard
+        import re
+        base = docs.limit(8).select("doc_id", "text")
+        ids = [r["doc_id"] for r in base.select("doc_id").collect()]
+        pairs = spark.createDataFrame(
+            [(ids[i], ids[j]) for i in range(len(ids))
+             for j in range(i + 1, len(ids))],
+            "id_a long, id_b long")
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in ngram_jaccard(base, pairs, n=3).collect()}
+        texts = {r["doc_id"]: r["text"] for r in base.collect()}
+
+        def grams(t):
+            t = re.sub(r"\s+", " ", t.lower()).strip()
+            return {t[i:i + 3] for i in range(len(t) - 2)} if len(t) >= 3 else set()
+
+        for (a, b), j in got.items():
+            ga, gb = grams(texts[a]), grams(texts[b])
+            want = len(ga & gb) / len(ga | gb) if ga | gb else None
+            assert j == pytest.approx(want, abs=1e-9), (a, b)
+
+
+class TestTextOps:
+    def test_language_id_markers(self, spark):
+        from logparse_rs_spark.operators.text import language_id
+        df = spark.createDataFrame(
+            [(1, "the cat and the dog went to the park"),
+             (2, "der hund und die katze sind nicht hier"),
+             (3, "le chat est dans la maison avec les enfants"),
+             (4, "zzzz qqqq xxxx"),],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+        assert got == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+    def test_quality_score_matches_python(self, spark, docs):
+        from logparse_rs_spark.operators.text import STOPWORDS, quality_score
+        got = {r["doc_id"]: r for r in quality_score(docs.limit(30)).collect()}
+        for r in docs.limit(30).collect():
+            t = r["text"] or ""
+            n_chars = len(t)
+            n_alpha = sum(c.isascii() and c.isalpha() for c in t)
+            alpha_ratio = n_alpha / n_chars if n_chars else 0.0
+            g = got[r["doc_id"]]
+            assert g["n_chars"] == n_chars
+            assert g["alpha_ratio"] == pytest.approx(alpha_ratio, abs=1e-6)
+            padded = f" {t.lower()} "
+            stop_ratio = sum(f" {w} " in padded for w in STOPWORDS) / len(STOPWORDS)
+            assert g["stop_ratio"] == pytest.approx(stop_ratio, abs=1e-6)
+
+    def test_token_counts_match_python(self, spark, docs):
+        import re
+        from logparse_rs_spark.operators.text import token_counts
+        got = {r["doc_id"]: r for r in token_counts(docs.limit(30)).collect()}
+        for r in docs.limit(30).collect():
+            t = r["text"] or ""
+            g = got[r["doc_id"]]
+            ws = len(t.split()) if t.strip() else 0
+            runs = [x for x in re.split(r"[^A-Za-z0-9]+", t) if x]
+            assert g["ws_tokens"] == ws
+            assert g["alnum_runs"] == len(runs)
+
+    def test_fingerprint_exact_fnv(self, spark, docs):
+        import re
+        from logparse_rs_spark.kernels import fnv1a_hash64
+        from logparse_rs_spark.operators.text import fingerprint
+        got = {r["doc_id"]: r["fingerprint"]
+               for r in fingerprint(docs.limit(10), exact_fnv=True).collect()}
+        for r in docs.limit(10).collect():
+            norm = re.sub(r"\s+", " ", (r["text"] or "").lower()).strip()
+            want = fnv1a_hash64(norm)
+            assert got[r["doc_id"]] & (2**64 - 1) == want
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, spark, emb):
+        from logparse_rs_spark.operators.similarity import brute_force_topk
+        queries = (emb.limit(3)
+                   .select(F.col("vec_id").alias("query_id"), "embedding"))
+        got = brute_force_topk(emb, queries, k=5).collect()
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        qrows = queries.collect()
+        for q in qrows:
+            qv = np.array(q["embedding"], dtype=np.float64)
+            qv = qv / np.linalg.norm(qv)
+            sims = matn @ qv
+            order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))[:5]
+            want = [(int(ids[i]), round(float(sims[i]), 6)) for i in order]
+            mine = sorted([(r["vec_id"], r["cos_sim"]) for r in got
+                           if r["query_id"] == q["query_id"]],
+                          key=lambda x: (-x[1], x[0]))
+            assert [m[0] for m in mine] == [w[0] for w in want]
+            for m, w in zip(mine, want):
+                assert m[1] == pytest.approx(w[1], abs=2e-6)
+
+    def test_lsh_recall_at_least_half_and_self_hit(self, spark, emb):
+        from logparse_rs_spark.operators.similarity import (
+            brute_force_topk, lsh_topk)
+        dim = len(emb.select("embedding").first()["embedding"])
+        queries = (emb.limit(5)
+                   .select(F.col("vec_id").alias("query_id"), "embedding"))
+        exact = brute_force_topk(emb, queries, k=5).collect()
+        approx = lsh_topk(emb, queries, dim=dim, k=5, n_planes=32,
+                          bands=8).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for qid, want in exact_sets.items():
+            got = approx_sets.get(qid, set())
+            assert qid in got  # self-similarity always found
+            assert len(got & want) / len(want) >= 0.4  # recall floor
+
+
+class TestMultimodal:
+    def test_metadata_and_features(self, spark):
+        from logparse_rs_spark.operators.multimodal import (
+            decode_and_featurize, frame_sample, media_metadata)
+        df = spark.createDataFrame(
+            [(1, b"\x89PNG13_fake_image_bytes_payload"),
+             (2, b"\xff\xd8\xffJPEGDATA"), (3, None)],
+            "id long, blob binary")
+        meta = media_metadata(df, "blob").select("id", "media_meta.*").collect()
+        tags = {r["id"]: r["format_tag"] for r in meta}
+        assert tags[1] == "png" and tags[2] == "jpeg" and tags[3] == "unknown"
+
+        feats = decode_and_featurize(df, "blob", resize_to=4).collect()
+        by_id = {r["id"]: r["features"] for r in feats}
+        assert len(by_id[1]) == 16 and by_id[3] is None
+        # deterministic: same bytes -> same features
+        feats2 = decode_and_featurize(df, "blob", resize_to=4).collect()
+        assert {r["id"]: r["features"] for r in feats2} == by_id
+
+        frames = frame_sample(df.filter("blob is not null"), "blob").collect()
+        assert all(r["frame_digest"] for r in frames)
+
+    def test_strict_mode_raises(self, spark):
+        from logparse_rs_spark.operators.multimodal import decode_and_featurize
+        from py4j.protocol import Py4JJavaError
+        df = spark.createDataFrame([(1, b"x")], "id long, blob binary")
+        with pytest.raises(Exception) as exc:
+            decode_and_featurize(df, "blob", strict=True).collect()
+        assert "NotImplementedError" in str(exc.value) or \
+            isinstance(exc.value, NotImplementedError)

@@ -140,7 +140,9 @@ class TestProjection:
         assert row["cluster_name"] is None
 
     def test_include_all_map(self, parsed):
-        df = parsed.filter("status = 'ok'").withColumn("m", include_all_map(parsed))
+        from logparse_rs_spark.operators.parse import fields_col
+        df = fields_col(parsed.filter("status = 'ok'"))
+        df = df.withColumn("m", include_all_map(df))
         r = df.select("fields", "m").limit(5).collect()
         for row in r:
             assert row["m"]["field_3"] == row["fields"][3]
