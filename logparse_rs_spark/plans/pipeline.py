@@ -43,12 +43,21 @@ from ..sources.writers import ParquetWriter
 
 @dataclass
 class SinkSpec:
-    """One fan-out sink: a log type routed to its own table."""
+    """One fan-out sink: a log type routed to its own table.
+
+    payload:
+      "columns" — per-field columnar projection (its own table/write job)
+      "map"     — type-erased map<string,string> payload (SURVEY §1.2);
+                  all map-payload sinks share ONE table partitioned by
+                  (log_type, bucket) and ONE write job — the fixed-cost
+                  saver for the long tail of low-volume log types
+    """
 
     log_type: str
     table: str
     columns: Optional[Sequence[str]] = None   # None = full schema width
     anonymize: bool = True
+    payload: str = "columns"
 
 
 @dataclass
@@ -205,6 +214,39 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
         )
         writer.write(projected, sink.table, partition_by=["bucket"])
 
+    def write_map_sinks(map_sinks: List[SinkSpec]) -> None:
+        """All map-payload sinks in ONE write job: type-erased
+        map<string,string> parsed payload, table partitioned by
+        (log_type, bucket) so each type remains independently scannable
+        and bucket replays stay idempotent."""
+        from ..operators.anonymize import anonymize_expr
+        from ..operators.parse import fields_col
+
+        types = [s.log_type for s in map_sinks]
+        anon_by_type = {s.log_type: (anon if s.anonymize else None)
+                        for s in map_sinks}
+        df = fields_col(parsed.filter(
+            (F.col("status") == STATUS_OK) & F.col("log_type").isin(types)))
+        payload = None
+        for t in types:
+            pairs = schema.effective_positions(t)
+            a = anon_by_type[t]
+            vals = []
+            for name, pos in pairs:
+                c = F.get(F.col("fields"), pos)
+                if a is not None:
+                    c = anonymize_expr(c, a.plan_for(name), a.default_salt)
+                vals.append(c)
+            m = F.map_from_arrays(
+                F.array(*[F.lit(n) for n, _ in pairs]), F.array(*vals))
+            payload = (F.when(F.col("log_type") == t, m) if payload is None
+                       else payload.when(F.col("log_type") == t, m))
+        out = df.select("url", "line_ordinal", "log_type",
+                        payload.alias("parsed"),
+                        "raw_excerpt", "hash64", "bucket")
+        writer.write(out, map_sinks[0].table,
+                     partition_by=["log_type", "bucket"])
+
     def write_metrics() -> None:
         writer.append(metrics, METRICS_TABLE)
 
@@ -236,7 +278,13 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
                 "run_id", F.lit(run_id))
             writer.append(audit, AUDIT_TABLE)
 
-    jobs = [lambda s=s: write_sink(s) for s in cfg.sinks]
+    columnar_sinks = [s for s in cfg.sinks if s.payload == "columns"]
+    map_sinks = [s for s in cfg.sinks if s.payload == "map"]
+    if map_sinks and len({s.table for s in map_sinks}) != 1:
+        raise ValueError("all map-payload sinks must share one table")
+    jobs = [lambda s=s: write_sink(s) for s in columnar_sinks]
+    if map_sinks:
+        jobs.append(lambda: write_map_sinks(map_sinks))
     jobs.append(write_metrics)
     if cfg.write_rejects:
         jobs.append(write_rejects)
@@ -250,7 +298,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
             f.result()  # surface the first failure
     mark("sink_writes", t_sinks)
     for sink in cfg.sinks:
-        per_sink_rows[sink.table] = type_counts.get(sink.log_type, 0)
+        key = (sink.table if sink.payload == "columns"
+               else f"{sink.table}/log_type={sink.log_type}")
+        per_sink_rows[key] = type_counts.get(sink.log_type, 0)
 
     # ---- ledger commit (M4): ordered AFTER all sink writes -----------------
     bucket_stats = (
@@ -285,9 +335,12 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
 
 def default_sinks(schema: CompiledSchema,
                   narrow: bool = True) -> List[SinkSpec]:
-    """One sink per log type; TRAFFIC/THREAT keep their full projection
-    narrow-ed to the analytic dimensions when `narrow` (the at-scale shape:
-    sinks declare columns so Catalyst prunes the rest)."""
+    """One sink per log type. With `narrow` (the at-scale shape):
+    TRAFFIC/THREAT — the high-volume types — get columnar tables pruned to
+    the analytic dimensions; the long tail of low-volume types shares one
+    map-payload table (single write job, still partitioned per type).
+    narrow=False gives every type its own full-width columnar table (the
+    reference-NDJSON-parity shape)."""
     dims = ["source_address", "destination_address", "rule_name",
             "source_user", "application", "action", "device_name"]
     sinks = []
@@ -299,6 +352,8 @@ def default_sinks(schema: CompiledSchema,
             sinks.append(SinkSpec(
                 t, f"sink_{t.lower()}",
                 columns=[d for d in dims if d in names]))
+        elif narrow:
+            sinks.append(SinkSpec(t, "sink_other", payload="map"))
         else:
             sinks.append(SinkSpec(t, f"sink_{t.lower()}", columns=None))
     return sinks
