@@ -247,6 +247,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "event_type", "n", "sum_value")
         )
 
+    def log_total_and_errors(spark, sf_dir):
+        from logparse_rs_spark.operators.aggregates import (
+            count_rows_and_errors)
+        return count_rows_and_errors(_parsed(spark, sf_dir))
+
+    def emb_neardup_pairs(spark, sf_dir):
+        # exact all-pairs cosine >= threshold (correctness form; at scale the
+        # LSH-bucketed candidate join in operators/similarity.py goes first)
+        from logparse_rs_spark.operators.similarity import cosine_scores
+        emb = _emb(spark, sf_dir)
+        queries_df = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        scored = cosine_scores(emb, queries_df)
+        return (scored.filter((F.col("query_id") < F.col("vec_id"))
+                              & (F.col("cos_sim") >= 0.35))
+                .select(F.col("query_id").alias("id_a"),
+                        F.col("vec_id").alias("id_b"),
+                        F.round("cos_sim", 6).alias("cos_sim")))
+
+    def events_value_quantiles(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return (ev.groupBy("event_type")
+                .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                     F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                     F.count("*").alias("n")))
+
+    def tpch_q3ish(spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                 F.countDistinct("o_orderkey").alias("n_orders"))
+            .orderBy(F.desc("revenue")).limit(10)
+        )
+
+    def lineitem_rollup(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (li.rollup("l_returnflag", "l_linestatus")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("l_quantity"), 2).alias("sum_qty")))
+
     def events_sessionization(spark, sf_dir):
         from pyspark.sql import Window
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -288,6 +333,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": events_top_users,
         "events_5min_windows": events_5min_windows,
         "events_sessionization": events_sessionization,
+        "log_total_and_errors": log_total_and_errors,
+        "emb_neardup_pairs": emb_neardup_pairs,
+        "events_value_quantiles": events_value_quantiles,
+        "tpch_q3ish": tpch_q3ish,
+        "lineitem_rollup": lineitem_rollup,
     }
 
 
@@ -501,5 +551,39 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ) GROUP BY user_id
+        """,
+        "log_total_and_errors": f"""
+            SELECT COUNT(*) AS total_logs,
+                   SUM(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END) AS errors
+            FROM {E}
+        """,
+        "emb_neardup_pairs": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+        """,
+        "events_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "tpch_q3ish": """
+            SELECT c_nationkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
+            ORDER BY revenue DESC LIMIT 10
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
     }

@@ -28,7 +28,7 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
-BENCH_PAGES_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
+BENCH_PAGES_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
 
 # Measured on this sandbox (BENCH/NOTES.md §6): one JVM with >8 task threads
 # hits a hypervisor-level anti-scaling cliff (2-8x slowdowns, high system
@@ -188,6 +188,12 @@ def main() -> None:
         low = best[SCALING_N]
         high4n = best[4 * SCALING_N]
         eff = low["wall_s"] / (4.0 * high4n["wall_s"])
+        stage_eff = None
+        if low.get("timings") and high4n.get("timings"):
+            sl = low["timings"].get("stage_write")
+            sh = high4n["timings"].get("stage_write")
+            if sl and sh:
+                stage_eff = round(sl / (4.0 * sh), 3)
         scaling = {
             "n_cores": SCALING_N,
             "4n_cores": 4 * SCALING_N,
@@ -196,6 +202,9 @@ def main() -> None:
             "docs_per_sec_n": low["docs_per_sec"],
             "docs_per_sec_4n": high4n["docs_per_sec"],
             "efficiency": round(eff, 3),
+            "parse_stage_efficiency": stage_eff,
+            "timings_n": low.get("timings"),
+            "timings_4n": high4n.get("timings"),
         }
 
     queries = time_queries(sf_dir, min(HEADLINE_CORES, cores))

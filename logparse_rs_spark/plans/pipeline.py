@@ -169,35 +169,25 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
         return PipelineResult(run_id, 0, len(skipped), {}, {},
                               time.perf_counter() - t0, 0, 0, timings)
 
-    # ---- routed-row counts in ONE aggregate pass ---------------------------
-    t_status = time.perf_counter()
-    status_rows = parsed.groupBy("status", "log_type").count().collect()
-    mark("status_agg", t_status)
-    status_counts: Dict[str, int] = {}
-    type_counts: Dict[str, int] = {}
-    for r in status_rows:
-        status_counts[r["status"]] = status_counts.get(r["status"], 0) + r["count"]
-        if r["status"] == STATUS_OK:
-            type_counts[r["log_type"]] = r["count"]
-    lines_in = sum(status_counts.values())
-    if lines_in == 0:
-        return PipelineResult(run_id, 0, len(skipped), {}, {},
-                              time.perf_counter() - t0, 0, 0)
+    # ---- bookkeeping aggregations (M2 metrics + ledger inputs + routed
+    # counts) run as TWO light jobs in the same concurrent pool as the sink
+    # writes; everything else (status counts, per-partition metrics rows,
+    # ledger rows) derives driver-side from their small results — no
+    # dedicated Spark job per bookkeeping table.
+    fine_stats: List = []   # (part_id, bucket, status, log_type, n, bytes)
+    url_stats: List = []    # (bucket, docs)
 
-    # ---- per-partition lineage / metrics (M2) -----------------------------
-    # urls per partition sum to docs_in exactly because the repartition key
-    # is the bucket: every url lives in exactly one partition.
-    metrics = (
-        parsed.groupBy("part_id", "bucket")
-        .agg(
-            F.count("*").alias("rows_in"),
-            F.sum((F.col("status") == STATUS_OK).cast("long")).alias("rows_ok"),
-            F.sum((F.col("status") != STATUS_OK).cast("long")).alias("rows_rejected"),
-            F.sum(F.length("line")).alias("bytes_in"),
-            F.countDistinct("url").alias("urls"),
-        )
-        .withColumn("run_id", F.lit(run_id))
-    )
+    def collect_fine_stats() -> None:
+        fine_stats.extend(
+            parsed.groupBy("part_id", "bucket", "status", "log_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.length("line")).alias("bytes_in"))
+            .collect())
+
+    def collect_url_stats() -> None:
+        url_stats.extend(
+            parsed.groupBy("bucket")
+            .agg(F.countDistinct("url").alias("docs")).collect())
 
     # ---- fan-out sinks (M1) + metrics + rejects + audit, as CONCURRENT
     # Spark jobs over the one cached parse (driver threads only queue jobs;
@@ -247,9 +237,6 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
         writer.write(out, map_sinks[0].table,
                      partition_by=["log_type", "bucket"])
 
-    def write_metrics() -> None:
-        writer.append(metrics, METRICS_TABLE)
-
     def write_rejects() -> None:
         rejects = parsed.filter(F.col("status") != STATUS_OK).select(
             "url", "line_ordinal", "bucket", "status", "log_type", "line")
@@ -285,40 +272,75 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
     jobs = [lambda s=s: write_sink(s) for s in columnar_sinks]
     if map_sinks:
         jobs.append(lambda: write_map_sinks(map_sinks))
-    jobs.append(write_metrics)
+    jobs.append(collect_fine_stats)
+    jobs.append(collect_url_stats)
     if cfg.write_rejects:
         jobs.append(write_rejects)
     if anon is not None and cfg.audit_dims:
         jobs.append(write_audit)
     t_sinks = time.perf_counter()
-    pool_width = int(os.environ.get("LOGPARSE_SINK_CONCURRENCY", "4"))
+    # concurrent-job capacity scales with the cluster, like a real scheduler:
+    # more executors -> more simultaneously-running fan-out jobs
+    default_width = max(2, int(spark.sparkContext.defaultParallelism))
+    pool_width = int(os.environ.get("LOGPARSE_SINK_CONCURRENCY",
+                                    str(default_width)))
     with ThreadPoolExecutor(max_workers=min(pool_width, len(jobs))) as pool:
         futures = [pool.submit(j) for j in jobs]
         for f in futures:
             f.result()  # surface the first failure
     mark("sink_writes", t_sinks)
+
+    # ---- derive all bookkeeping driver-side from the two small stat sets ---
+    status_counts: Dict[str, int] = {}
+    type_counts: Dict[str, int] = {}
+    metric_rows: Dict[tuple, Dict] = {}
+    bucket_rows: Dict[int, Dict] = {}
+    for r in fine_stats:
+        status_counts[r["status"]] = status_counts.get(r["status"], 0) + r["n"]
+        if r["status"] == STATUS_OK:
+            type_counts[r["log_type"]] = \
+                type_counts.get(r["log_type"], 0) + r["n"]
+        mk = (r["part_id"], r["bucket"])
+        m = metric_rows.setdefault(mk, {
+            "part_id": r["part_id"], "bucket": r["bucket"], "rows_in": 0,
+            "rows_ok": 0, "rows_rejected": 0, "bytes_in": 0, "run_id": run_id})
+        m["rows_in"] += r["n"]
+        m["bytes_in"] += r["bytes_in"] or 0
+        m["rows_ok" if r["status"] == STATUS_OK else "rows_rejected"] += r["n"]
+        b = bucket_rows.setdefault(r["bucket"], {
+            "bucket": r["bucket"], "rows_in": 0, "rows_ok": 0, "docs": 0,
+            "status": "done", "run_id": run_id})
+        b["rows_in"] += r["n"]
+        if r["status"] == STATUS_OK:
+            b["rows_ok"] += r["n"]
+    for r in url_stats:
+        bucket_rows[r["bucket"]]["docs"] = r["docs"]
+    lines_in = sum(status_counts.values())
+
     for sink in cfg.sinks:
         key = (sink.table if sink.payload == "columns"
                else f"{sink.table}/log_type={sink.log_type}")
         per_sink_rows[key] = type_counts.get(sink.log_type, 0)
 
-    # ---- ledger commit (M4): ordered AFTER all sink writes -----------------
-    bucket_stats = (
-        parsed.groupBy("bucket")
-        .agg(F.count("*").alias("rows_in"),
-             F.sum((F.col("status") == STATUS_OK).cast("long")).alias("rows_ok"),
-             F.countDistinct("url").alias("docs"))
-        .withColumn("status", F.lit("done"))
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("committed_at", F.current_timestamp())
-    )
+    # ---- metrics + ledger writes (tiny local frames); ledger commit (M4)
+    # stays ordered AFTER all sink writes ------------------------------------
     t_ledger = time.perf_counter()
-    stats_rows = bucket_stats.collect()
-    writer.append(spark.createDataFrame(stats_rows, bucket_stats.schema),
-                  LEDGER_TABLE)
+    writer.append(
+        spark.createDataFrame(
+            list(metric_rows.values()),
+            "part_id int, bucket int, rows_in long, rows_ok long, "
+            "rows_rejected long, bytes_in long, run_id string"),
+        METRICS_TABLE)
+    writer.append(
+        spark.createDataFrame(
+            list(bucket_rows.values()),
+            "bucket int, rows_in long, rows_ok long, docs long, "
+            "status string, run_id string").withColumn(
+                "committed_at", F.current_timestamp()),
+        LEDGER_TABLE)
     mark("ledger", t_ledger)
-    n_buckets_done = len(stats_rows)
-    docs_in = sum(r["docs"] for r in stats_rows)
+    n_buckets_done = len(bucket_rows)
+    docs_in = sum(b["docs"] for b in bucket_rows.values())
 
     return PipelineResult(
         run_id=run_id,
