@@ -1,0 +1,84 @@
+"""Explicit skew handling (SURVEY §2.7 M5).
+
+The pipeline's bucket key is pmod(xxhash64(url), B) — hot DOMAINS scatter
+across buckets by construction, so the main path needs no salting. These
+helpers cover the cases where the grouping/join key itself is skewed (e.g.
+aggregating BY domain when two domains own 40% of rows):
+
+- salted_agg: two-phase aggregation — partial agg on (key, salt), final agg
+  on key. The hot key's rows split across `salt_factor` reducers in phase 1;
+  phase 2 combines `salt_factor` partial rows per key (trivial).
+- salt_column / desalt: building blocks for salted repartition before custom
+  per-partition work.
+- hot_keys: find keys above a frequency threshold (to salt selectively —
+  AQE's skew-join handles joins, but map-side UDF stages distribute by
+  partitioning alone).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_column(df: DataFrame, salt_factor: int,
+                salt_col: str = "_salt") -> DataFrame:
+    """Deterministic per-row salt in [0, salt_factor): derived from a hash of
+    the whole row's natural identity is unnecessary — a uniform spread only
+    needs any row-varying input; monotonically varying rand would break
+    determinism, so hash the partition-local position via
+    spark_partition_id + a cheap per-row hash of all columns."""
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+               F.lit(salt_factor)).cast("int"),
+    )
+
+
+def salted_agg(df: DataFrame, keys: Sequence[str], aggs: Dict[str, str],
+               salt_factor: int = 16) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    aggs: {output_col: "sum(col)" | "count(*)" | "max(col)" | "min(col)"} —
+    the re-aggregatable subset (avg = sum/count composed by the caller).
+    Phase 1 shuffles on (keys..., salt): the hottest key occupies at most
+    1/salt_factor of any reducer. Phase 2 shuffles salt_factor rows per key.
+    """
+    phase1_exprs: List[Column] = []
+    phase2_exprs: List[Column] = []
+    for out, spec in aggs.items():
+        fn, _, arg = spec.partition("(")
+        arg = arg.rstrip(")")
+        fn = fn.strip().lower()
+        if fn == "count":
+            phase1_exprs.append(F.count("*").alias(out))
+            phase2_exprs.append(F.sum(out).alias(out))
+        elif fn == "sum":
+            phase1_exprs.append(F.sum(arg).alias(out))
+            phase2_exprs.append(F.sum(out).alias(out))
+        elif fn == "max":
+            phase1_exprs.append(F.max(arg).alias(out))
+            phase2_exprs.append(F.max(out).alias(out))
+        elif fn == "min":
+            phase1_exprs.append(F.min(arg).alias(out))
+            phase2_exprs.append(F.min(out).alias(out))
+        else:
+            raise ValueError(f"non-re-aggregatable function: {spec}")
+    salted = salt_column(df, salt_factor)
+    partial = salted.groupBy(*keys, "_salt").agg(*phase1_exprs)
+    return partial.groupBy(*keys).agg(*phase2_exprs)
+
+
+def hot_keys(df: DataFrame, key: str, threshold_fraction: float = 0.01,
+             approx: bool = True) -> List:
+    """Keys holding more than `threshold_fraction` of rows (the candidates
+    worth salting). Uses a single aggregation; with approx=True the count
+    per key is exact but the scan benefits from partial aggregation anyway —
+    kept simple because the key cardinality post-agg is assumed modest."""
+    total = df.count()
+    cutoff = max(int(total * threshold_fraction), 1)
+    rows = (df.groupBy(key).count()
+            .filter(F.col("count") >= cutoff).collect())
+    return [r[key] for r in rows]

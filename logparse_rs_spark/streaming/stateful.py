@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference's only cross-record state is the anonymizer integrity table —
+a monotonically growing (field, orig) -> repl memo (table.rs:75-77). In
+batch we recover it statelessly (tokens are deterministic); in streaming this
+operator maintains it INCREMENTALLY across micro-batches with
+applyInPandasWithState: per log_type group, state = set of value-hashes seen,
+emitting only NEWLY seen (field, original, replacement) rows per batch — the
+streaming audit feed.
+
+Also provides running_type_counts: per-log_type cumulative routed-row counts
+across micro-batches (the streaming form of the G2 report counter).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+COUNT_OUTPUT = T.StructType([
+    T.StructField("log_type", T.StringType()),
+    T.StructField("total_rows", T.LongType()),
+    T.StructField("batch_rows", T.LongType()),
+])
+COUNT_STATE = T.StructType([T.StructField("total", T.LongType())])
+
+
+def _update_counts(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    batch = sum(len(p) for p in pdfs)
+    total = (state.get[0] if state.exists else 0) + batch
+    state.update((total,))
+    yield pd.DataFrame({
+        "log_type": [key[0]], "total_rows": [total], "batch_rows": [batch]})
+
+
+def running_type_counts(parsed_stream: DataFrame) -> DataFrame:
+    """Cumulative ok-row counts per log type across micro-batches (stateful
+    G2). Input: the parsed stream (from operators.parse over readStream)."""
+    ok = parsed_stream.filter("status = 'ok'").select("log_type")
+    return ok.groupBy("log_type").applyInPandasWithState(
+        _update_counts, COUNT_OUTPUT, COUNT_STATE, "append",
+        GroupStateTimeout.NoTimeout)
+
+
+NEW_VALUES_OUTPUT = T.StructType([
+    T.StructField("field", T.StringType()),
+    T.StructField("original", T.StringType()),
+    T.StructField("replacement", T.StringType()),
+])
+NEW_VALUES_STATE = T.StructType([
+    T.StructField("seen", T.ArrayType(T.StringType())),
+])
+
+
+def streaming_integrity_feed(pairs_stream: DataFrame) -> DataFrame:
+    """Incremental integrity-table feed: input stream of already-computed
+    (field, original, replacement) rows (e.g. from the anonymize expressions
+    over a parsed stream); emits each distinct (field, original) exactly once
+    across the stream's lifetime. State per field = seen originals.
+
+    At 10^12 scale the state per field is bounded by the field's value
+    cardinality — the same bound the reference's in-memory memo has
+    (table.rs:8), but partitioned by field across executors and checkpointed.
+    """
+    def update(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        out_orig, out_repl = [], []
+        for p in pdfs:
+            for o, r in zip(p["original"], p["replacement"]):
+                if o is not None and o not in seen:
+                    seen.add(o)
+                    out_orig.append(o)
+                    out_repl.append(r)
+        state.update((list(seen),))
+        yield pd.DataFrame({
+            "field": [key[0]] * len(out_orig),
+            "original": out_orig,
+            "replacement": out_repl,
+        })
+
+    return pairs_stream.groupBy("field").applyInPandasWithState(
+        update, NEW_VALUES_OUTPUT, NEW_VALUES_STATE, "append",
+        GroupStateTimeout.NoTimeout)

@@ -1,0 +1,124 @@
+"""Tests for the skew-salting helpers and the stateful streaming operators."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+SCHEMA = os.path.join(ROOT, "schemas", "schema.json")
+
+
+class TestSkew:
+    def test_salted_agg_matches_plain(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        from logparse_rs_spark.operators.skew import salted_agg
+        got = {r["event_type"]: (r["n"], round(r["sv"], 4))
+               for r in salted_agg(ev, ["event_type"],
+                                   {"n": "count(*)", "sv": "sum(value)"},
+                                   salt_factor=8).collect()}
+        want = {r["event_type"]: (r["n"], round(r["sv"], 4))
+                for r in ev.groupBy("event_type")
+                .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+                .collect()}
+        assert got == want
+
+    def test_salted_agg_minmax(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        from logparse_rs_spark.operators.skew import salted_agg
+        got = salted_agg(ev, ["event_type"],
+                         {"mx": "max(value)", "mn": "min(value)"}).collect()
+        want = {r["event_type"]: (r["mx"], r["mn"])
+                for r in ev.groupBy("event_type")
+                .agg(F.max("value").alias("mx"), F.min("value").alias("mn"))
+                .collect()}
+        for r in got:
+            assert (r["mx"], r["mn"]) == want[r["event_type"]]
+
+    def test_hot_keys(self, spark):
+        from logparse_rs_spark.operators.skew import hot_keys
+        from logparse_rs_spark import fixtures
+        import pandas as pd
+        cols = fixtures.generate_pages(300, seed=5)
+        df = spark.createDataFrame(pd.DataFrame({"url": cols["url"]}))
+        df = df.withColumn("domain", F.regexp_extract("url", r"https://([^/]+)/", 1))
+        hot = hot_keys(df, "domain", threshold_fraction=0.10)
+        # the two hot domains own ~40% of pages (FIXTURES.md §1)
+        assert set(hot) == {"hot-a.example.com", "hot-b.example.com"}
+
+    def test_rejects_non_reaggregatable(self, spark):
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        from logparse_rs_spark.operators.skew import salted_agg
+        with pytest.raises(ValueError, match="non-re-aggregatable"):
+            salted_agg(ev, ["event_type"], {"a": "avg(value)"})
+
+
+class TestStatefulStreaming:
+    def test_running_type_counts(self, spark, tmp_path, full_schema):
+        from logparse_rs_spark import fixtures
+        from logparse_rs_spark.operators.parse import parse_pages
+        from logparse_rs_spark.streaming.stateful import running_type_counts
+        from logparse_rs_spark.streaming.stream import read_pages_stream
+
+        src = tmp_path / "src"
+        src.mkdir()
+        fixtures.write_pages_parquet(str(src / "a.parquet"), 25, seed=21)
+        fixtures.write_pages_parquet(str(src / "b.parquet"), 25, seed=22)
+
+        stream = read_pages_stream(spark, str(src), max_files_per_trigger=1)
+        parsed = parse_pages(stream, full_schema)
+        counts = running_type_counts(parsed)
+        q = (counts.writeStream.outputMode("append").format("memory")
+             .queryName("running_counts")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = spark.sql("SELECT * FROM running_counts").collect()
+        # cumulative totals: the max total per type == batch totals summed
+        finals = {}
+        for r in rows:
+            finals[r["log_type"]] = max(finals.get(r["log_type"], 0),
+                                        r["total_rows"])
+        batch = parse_pages(spark.read.parquet(str(src)), full_schema)
+        want = {r["log_type"]: r["count"]
+                for r in batch.filter("status='ok'")
+                .groupBy("log_type").count().collect()}
+        assert finals == want
+        # per-type batch_rows sum to the same totals
+        sums = {}
+        for r in rows:
+            sums[r["log_type"]] = sums.get(r["log_type"], 0) + r["batch_rows"]
+        assert sums == want
+
+    def test_streaming_integrity_feed_exactly_once(self, spark, tmp_path):
+        import pandas as pd
+        from logparse_rs_spark.streaming.stateful import (
+            streaming_integrity_feed)
+
+        src = tmp_path / "pairs"
+        src.mkdir()
+        pd.DataFrame({
+            "field": ["src", "src", "dst"],
+            "original": ["1.1.1.1", "2.2.2.2", "9.9.9.9"],
+            "replacement": ["T_a", "T_b", "T_c"],
+        }).to_parquet(src / "b1.parquet")
+        pd.DataFrame({
+            "field": ["src", "src", "dst"],
+            "original": ["1.1.1.1", "3.3.3.3", "9.9.9.9"],  # 2 repeats, 1 new
+            "replacement": ["T_a", "T_d", "T_c"],
+        }).to_parquet(src / "b2.parquet")
+
+        schema = "field string, original string, replacement string"
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        feed = streaming_integrity_feed(stream)
+        q = (feed.writeStream.outputMode("append").format("memory")
+             .queryName("integrity_feed")
+             .option("checkpointLocation", str(tmp_path / "ckpt2"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = spark.sql("SELECT * FROM integrity_feed").collect()
+        got = {(r["field"], r["original"]): r["replacement"] for r in rows}
+        assert len(rows) == 4  # each distinct (field, original) exactly once
+        assert got == {("src", "1.1.1.1"): "T_a", ("src", "2.2.2.2"): "T_b",
+                       ("src", "3.3.3.3"): "T_d", ("dst", "9.9.9.9"): "T_c"}
