@@ -247,6 +247,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "event_type", "n", "sum_value")
         )
 
+    def emb_ivf_topk(spark, sf_dir):
+        from logparse_rs_spark.operators.similarity import ivf_topk
+        emb = _emb(spark, sf_dir)
+        queries_df = (emb.filter("vec_id < 3")
+                      .select(F.col("vec_id").alias("query_id"), "embedding"))
+        return ivf_topk(emb, queries_df, k=5, n_cells=8, n_probe=4)
+
     def log_total_and_errors(spark, sf_dir):
         from logparse_rs_spark.operators.aggregates import (
             count_rows_and_errors)
@@ -334,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_5min_windows": events_5min_windows,
         "events_sessionization": events_sessionization,
         "log_total_and_errors": log_total_and_errors,
+        "emb_ivf_topk": emb_ivf_topk,
         "emb_neardup_pairs": emb_neardup_pairs,
         "events_value_quantiles": events_value_quantiles,
         "tpch_q3ish": tpch_q3ish,

@@ -99,6 +99,104 @@ def hyperplane_signatures(vectors: DataFrame, dim: int, n_planes: int = 32,
     return vectors.withColumn("lsh_sig", sig(F.col(vec_col)))
 
 
+def ivf_assign(vectors: DataFrame, centroids: "np.ndarray",
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               out_col: str = "ivf_cell") -> DataFrame:
+    """Assign each vector to its nearest (cosine) centroid cell — the IVF
+    partitioning step. Centroids are a small driver-side matrix captured by
+    the UDF (broadcast-by-closure)."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        vm = np.array(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vm, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (vm / norms[:, None]) @ cn.T
+        return pd.Series(sims.argmax(axis=1).astype("int32"),
+                         index=vecs.index)
+
+    return vectors.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def train_ivf_centroids(vectors: DataFrame, n_cells: int = 16,
+                        iters: int = 5, seed: int = 17,
+                        vec_col: str = "embedding",
+                        sample_rows: int = 4096) -> "np.ndarray":
+    """Deterministic mini k-means on a seeded sample (collected to the
+    driver — at 10^12 scale you train on a fixed-size sample regardless of
+    table size, so this stays O(sample))."""
+    # deterministic sample: order by a hash of the vector bytes, not by
+    # partition layout
+    sample = (vectors.select(vec_col)
+              .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
+              .limit(sample_rows).collect())
+    x = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 3, seed: int = 17,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id",
+             centroids: "np.ndarray" = None) -> DataFrame:
+    """IVF ANN: vectors partitioned into centroid cells; each query probes
+    its n_probe nearest cells and exact-reranks only those vectors. The
+    cell equi-join replaces the all-pairs scan (the scale path alongside
+    lsh_topk; recall grows with n_probe)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(vectors, n_cells, seed=seed,
+                                        vec_col=vec_col)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col).alias("v")
+
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        vm = np.array(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vm, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (vm / norms[:, None]) @ cn.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series([row.tolist() for row in order], index=vecs.index)
+
+    q = (queries.withColumn("ivf_cell",
+                            F.explode(probe_cells(F.col(vec_col))))
+         .select(F.col(query_id_col), F.col(vec_col).alias("q_vec"),
+                 "ivf_cell").alias("q"))
+    cands = (assigned.join(F.broadcast(q), "ivf_cell")
+             .select(F.col(query_id_col), F.col(f"v.{id_col}").alias(id_col),
+                     F.col(f"v.{vec_col}").alias("v_vec"), F.col("q_vec"))
+             .dropDuplicates([query_id_col, id_col]))
+    dot = F.aggregate(F.zip_with("v_vec", "q_vec", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    scored = cands.withColumn(
+        "cos_sim",
+        F.when((norm(F.col("v_vec")) == 0) | (norm(F.col("q_vec")) == 0), 0.0)
+        .otherwise(dot / (norm(F.col("v_vec")) * norm(F.col("q_vec")))))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col))
+    return (scored.select(query_id_col, id_col, "cos_sim")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("cos_sim", F.round("cos_sim", 6)))
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              n_planes: int = 32, bands: int = 4, seed: int = 13,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -238,3 +238,32 @@ class TestMultimodal:
             decode_and_featurize(df, "blob", strict=True).collect()
         assert "NotImplementedError" in str(exc.value) or \
             isinstance(exc.value, NotImplementedError)
+
+
+class TestIVF:
+    def test_ivf_recall_and_self_hit(self, spark, emb):
+        from logparse_rs_spark.operators.similarity import (
+            brute_force_topk, ivf_topk)
+        from pyspark.sql import functions as F
+        queries = (emb.filter("vec_id < 5")
+                   .select(F.col("vec_id").alias("query_id"), "embedding"))
+        exact = brute_force_topk(emb, queries, k=5).collect()
+        approx = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4).collect()
+        exact_sets, approx_sets = {}, {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for r in approx:
+            approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for qid, want in exact_sets.items():
+            got = approx_sets.get(qid, set())
+            assert qid in got  # the vector's own cell is always probed
+            assert len(got & want) / len(want) >= 0.4
+
+    def test_ivf_deterministic(self, spark, emb):
+        from logparse_rs_spark.operators.similarity import ivf_topk
+        from pyspark.sql import functions as F
+        queries = (emb.filter("vec_id < 2")
+                   .select(F.col("vec_id").alias("query_id"), "embedding"))
+        a = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
+        b = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
+        assert a == b
