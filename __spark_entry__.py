@@ -303,15 +303,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pyspark.sql import Window
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        # parquet gives TIMESTAMP_NTZ; go via timestamp_ltz (session tz UTC)
-        # for epoch seconds — matches DuckDB's epoch() on the naive value
-        secs = F.col("ts").cast("timestamp_ltz").cast("long")
-        gap = secs - F.lag(secs).over(w)
+        # parquet gives TIMESTAMP_NTZ; go via timestamp_ltz (session tz UTC).
+        # Gap math in integer MICROseconds (unix_micros vs DuckDB epoch_us)
+        # so sub-second timestamps classify identically on both sides.
+        us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+        gap = us - F.lag(us).over(w)
         return (
             ev.withColumn("new_session",
-                          (gap.isNull() | (gap > 1800)).cast("int"))
+                          (gap.isNull() | (gap > 1800 * 1_000_000)).cast("int"))
             .groupBy("user_id")
-            .agg(F.sum("new_session").alias("n_sessions"),
+            .agg(F.sum("new_session").cast("long").alias("n_sessions"),
                  F.count("*").alias("n_events"))
         )
 
@@ -549,12 +550,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "events_sessionization": """
-            SELECT user_id, SUM(new_session) AS n_sessions,
+            SELECT user_id, SUM(new_session)::BIGINT AS n_sessions,
                    COUNT(*) AS n_events
             FROM (
               SELECT user_id,
                      CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800 * 1000000
                           THEN 1 ELSE 0 END AS new_session
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -562,7 +564,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "log_total_and_errors": f"""
             SELECT COUNT(*) AS total_logs,
-                   SUM(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END) AS errors
+                   SUM(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END)::BIGINT
+                     AS errors
             FROM {E}
         """,
         "emb_neardup_pairs": """

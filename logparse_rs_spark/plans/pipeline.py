@@ -146,11 +146,40 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
     # explicit repartition on the bucket key: lines of one url always land
     # together, so per-bucket sink partitions are written by few tasks and
     # the (url, line_ordinal) identity never crosses partitions
+    pages_pending = bucketed   # pre-repartition view for doc-level stats
     bucketed = bucketed.repartition(n_parts, "bucket")
 
     exploded = explode_lines(bucketed, keep_cols=("lang", "bucket"))
     parsed_plan = parse_lines(exploded, schema)
     parsed_plan = parsed_plan.withColumn("part_id", F.spark_partition_id())
+
+    # audit-dim ORIGINALS as narrow stage columns: the audit job then reads
+    # three pruned string columns instead of re-splitting every line (the
+    # split is the expensive kernel; paying it once in the stage pass keeps
+    # the fan-out phase pure column reads)
+    audit_dims_active = [
+        d for d in cfg.audit_dims
+        if anon is not None and anon.plan_for(d).mode is not None
+    ]
+    if audit_dims_active:
+        from ..operators.parse import fields_col
+
+        sink_types = sorted({s.log_type for s in cfg.sinks})
+        parsed_plan = fields_col(parsed_plan)
+        for d in audit_dims_active:
+            expr = None
+            for t in sink_types:
+                pos = dict(schema.effective_positions(t)).get(d)
+                if pos is None:
+                    continue
+                cond = F.col("log_type") == t
+                val = F.get(F.col("fields"), pos)
+                expr = (F.when(cond, val) if expr is None
+                        else expr.when(cond, val))
+            parsed_plan = parsed_plan.withColumn(
+                f"_adt_{d}",
+                expr if expr is not None else F.lit(None).cast("string"))
+        parsed_plan = parsed_plan.drop("fields")
 
     # ---- staging checkpoint: ONE parse pass materialized as parquet -------
     # Measured against .cache(): the in-memory columnar cache serializes the
@@ -185,9 +214,12 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
             .collect())
 
     def collect_url_stats() -> None:
+        # docs-per-bucket from the PAGES table (one row per doc, url unique
+        # by contract) — a pruned scan of just the url column, instead of a
+        # countDistinct shuffle over every exploded line
         url_stats.extend(
-            parsed.groupBy("bucket")
-            .agg(F.countDistinct("url").alias("docs")).collect())
+            pages_pending.groupBy("bucket")
+            .agg(F.count("*").alias("docs")).collect())
 
     # ---- fan-out sinks (M1) + metrics + rejects + audit, as CONCURRENT
     # Spark jobs over the one cached parse (driver threads only queue jobs;
@@ -202,6 +234,13 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
             anon=anon if sink.anonymize else None,
             extra_cols=("bucket",),   # idempotent partition overwrite key
         )
+        # cluster by the partition key BEFORE partitionBy: each bucket is
+        # written by exactly one task -> 1 file per bucket dir instead of
+        # (tasks x buckets) small files. The shuffle carries only this sink's
+        # projected columns, and at scale the 100-500MB bucket grain IS the
+        # file size you want; the file/commit count is what killed r1's
+        # sink phase (217s@8c vs 60s@2c, BENCH_r01).
+        projected = projected.repartition(cfg.n_buckets, "bucket")
         writer.write(projected, sink.table, partition_by=["bucket"])
 
     def write_map_sinks(map_sinks: List[SinkSpec]) -> None:
@@ -234,58 +273,59 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
         out = df.select("url", "line_ordinal", "log_type",
                         payload.alias("parsed"),
                         "raw_excerpt", "hash64", "bucket")
+        # cluster so each (log_type, bucket) dir gets exactly one file
+        out = out.repartition(cfg.n_buckets, "log_type", "bucket")
         writer.write(out, map_sinks[0].table,
                      partition_by=["log_type", "bucket"])
 
     def write_rejects() -> None:
         rejects = parsed.filter(F.col("status") != STATUS_OK).select(
             "url", "line_ordinal", "bucket", "status", "log_type", "line")
+        rejects = rejects.repartition(cfg.n_buckets, "bucket")
         writer.write(rejects, REJECTS_TABLE, partition_by=["bucket"])
 
     def write_audit() -> None:
-        active = [d for d in cfg.audit_dims
-                  if anon is not None and anon.plan_for(d).mode is not None]
-        if not active:
-            return
-        types = sorted({s.log_type for s in cfg.sinks})
-        pres = []
-        for t in types:
-            names = set(schema.type_to_fields[t])
-            dims = [d for d in active if d in names]
-            if dims:
-                pres.append(project_type(parsed, schema, t, columns=dims,
-                                         include_identity=False,
-                                         include_enrichment=False)
-                            .select(*dims))
-        if pres:
-            stacked = pres[0]
-            for p in pres[1:]:
-                stacked = stacked.unionByName(p, allowMissingColumns=True)
-            audit = audit_table(stacked, anon, active).withColumn(
-                "run_id", F.lit(run_id))
-            writer.append(audit, AUDIT_TABLE)
+        # the _adt_* stage columns already hold the per-type originals
+        # (null for types lacking the dim / non-ok rows), so this is a
+        # pruned 3-column scan -> distinct -> anonymize-the-distincts
+        stacked = parsed.filter(F.col("status") == STATUS_OK).select(
+            *[F.col(f"_adt_{d}").alias(d) for d in audit_dims_active])
+        audit = audit_table(stacked, anon, audit_dims_active).withColumn(
+            "run_id", F.lit(run_id))
+        writer.append(audit, AUDIT_TABLE)
 
     columnar_sinks = [s for s in cfg.sinks if s.payload == "columns"]
     map_sinks = [s for s in cfg.sinks if s.payload == "map"]
     if map_sinks and len({s.table for s in map_sinks}) != 1:
         raise ValueError("all map-payload sinks must share one table")
-    jobs = [lambda s=s: write_sink(s) for s in columnar_sinks]
+    jobs = [(s.table, lambda s=s: write_sink(s)) for s in columnar_sinks]
     if map_sinks:
-        jobs.append(lambda: write_map_sinks(map_sinks))
-    jobs.append(collect_fine_stats)
-    jobs.append(collect_url_stats)
+        jobs.append((map_sinks[0].table, lambda: write_map_sinks(map_sinks)))
+    jobs.append(("fine_stats", collect_fine_stats))
+    jobs.append(("url_stats", collect_url_stats))
     if cfg.write_rejects:
-        jobs.append(write_rejects)
-    if anon is not None and cfg.audit_dims:
-        jobs.append(write_audit)
+        jobs.append(("rejects", write_rejects))
+    if audit_dims_active:
+        jobs.append(("audit", write_audit))
     t_sinks = time.perf_counter()
-    # concurrent-job capacity scales with the cluster, like a real scheduler:
-    # more executors -> more simultaneously-running fan-out jobs
-    default_width = max(2, int(spark.sparkContext.defaultParallelism))
+    # concurrent fan-out jobs: enough to hide per-job commit latency, capped
+    # at 4 — r1 scaled this with defaultParallelism and the commit phase
+    # anti-scaled (more cores -> more simultaneous partitionBy commits
+    # contending on the store). Task-level parallelism inside each job
+    # already uses every core; job-level concurrency only needs to cover
+    # scheduling + commit gaps.
+    default_width = max(2, min(4, int(spark.sparkContext.defaultParallelism)))
     pool_width = int(os.environ.get("LOGPARSE_SINK_CONCURRENCY",
                                     str(default_width)))
+    def timed(label: str, job):
+        def run():
+            t = time.perf_counter()
+            job()
+            timings[f"sink:{label}"] = round(time.perf_counter() - t, 3)
+        return run
+
     with ThreadPoolExecutor(max_workers=min(pool_width, len(jobs))) as pool:
-        futures = [pool.submit(j) for j in jobs]
+        futures = [pool.submit(timed(lbl, j)) for lbl, j in jobs]
         for f in futures:
             f.result()  # surface the first failure
     mark("sink_writes", t_sinks)

@@ -49,6 +49,15 @@ def get_spark(app_name: str = "logparse_rs_spark", cores: int | None = None,
                 os.environ.get("SPARK_GRAFT_COMMITTER", "2"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # scan-split sizing: the fan-out sinks evaluate their (wide,
+        # expression-heavy) projections in the parquet READ stage; at the
+        # default 128 MB a partition-pruned per-type read collapses to 1-2
+        # tasks and the whole sink job runs serial no matter how many cores
+        # exist. 16 MB splits keep scan stages at >= cores tasks at bench
+        # scale; on a real cluster the same ratio holds against bigger files.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
         # local mode = one JVM doing the work of every executor: size the
         # heap for cores * concurrent task memory (32 threads on 8g thrashes
         # GC and anti-scales; this box has 128 GiB)
