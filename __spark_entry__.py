@@ -351,8 +351,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from logparse_rs_spark.dataops_fixtures import ensure_dataops_aux
+
     exp = _expected_path_for_oracle()
     E = f"read_parquet('{exp}')"
+    testdata_root = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    aux = ensure_dataops_aux(FIXTURE_ROOT,
+                             os.path.join(testdata_root, ORACLE_SF))
+    DOC_AUX = f"read_parquet('{aux['doc_aux']}')"
+    EMB_BANDS = f"read_parquet('{aux['emb_bands']}')"
+    EMB_CELLS = f"read_parquet('{aux['emb_cells']}')"
+    EMB_PROBES = f"read_parquet('{aux['emb_probes']}')"
     # only the fields the sample anonymizer config actively transforms appear
     # in the integrity table (rule_name/source_user are NOT matched by the
     # config's 'rule'/'user' keys -> passthrough, never recorded)
@@ -567,6 +576,75 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END)::BIGINT
                      AS errors
             FROM {E}
+        """,
+        # --- data-op oracles over the refimpl aux parquet (dataops_fixtures)
+        "doc_fingerprint_fnv": f"""
+            SELECT doc_id, fingerprint FROM {DOC_AUX}
+        """,
+        "doc_minhash_pairs": f"""
+            WITH b AS (
+              SELECT doc_id, band, sig[band*4+1 : band*4+4] AS key
+              FROM {DOC_AUX}
+              CROSS JOIN (SELECT unnest(range(16)) AS band)
+            )
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM b l JOIN b r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        """,
+        "doc_simhash_candidates": f"""
+            WITH c AS (
+              SELECT doc_id, simhash, i AS chunk_idx,
+                     (simhash >> (i*16)) & 65535 AS chunk_val
+              FROM {DOC_AUX}
+              CROSS JOIN (SELECT unnest(range(4)) AS i)
+            )
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   bit_count(xor(l.simhash, r.simhash))::INT AS hamming
+            FROM c l JOIN c r
+              ON l.chunk_idx = r.chunk_idx AND l.chunk_val = r.chunk_val
+                 AND l.doc_id < r.doc_id
+        """,
+        "emb_lsh_topk": f"""
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                       FROM embeddings),
+            vb AS (SELECT vec_id, band, bucket FROM {EMB_BANDS}),
+            qb AS (SELECT vec_id AS query_id, band, bucket
+                   FROM {EMB_BANDS} WHERE vec_id < 3),
+            cand AS (
+              SELECT DISTINCT qb.query_id, vb.vec_id
+              FROM vb JOIN qb ON vb.band = qb.band AND vb.bucket = qb.bucket
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     list_cosine_similarity(a.e, b.e) AS cs
+              FROM cand c
+              JOIN v a ON a.vec_id = c.query_id
+              JOIN v b ON b.vec_id = c.vec_id
+            )
+            SELECT query_id, vec_id, round(cs, 6) AS cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cs DESC, vec_id ASC) AS rank
+            FROM scored QUALIFY rank <= 5
+        """,
+        "emb_ivf_topk": f"""
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                       FROM embeddings),
+            cand AS (
+              SELECT DISTINCT p.query_id, c.vec_id
+              FROM {EMB_CELLS} c
+              JOIN {EMB_PROBES} p ON c.ivf_cell = p.ivf_cell
+            ),
+            scored AS (
+              SELECT c.query_id, c.vec_id,
+                     list_cosine_similarity(a.e, b.e) AS cs
+              FROM cand c
+              JOIN v a ON a.vec_id = c.query_id
+              JOIN v b ON b.vec_id = c.vec_id
+            )
+            SELECT query_id, vec_id, round(cs, 6) AS cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cs DESC, vec_id ASC) AS rank
+            FROM scored QUALIFY rank <= 5
         """,
         "emb_neardup_pairs": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)

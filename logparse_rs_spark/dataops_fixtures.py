@@ -1,0 +1,152 @@
+"""Refimpl-computed aux parquet for the data-operator oracles.
+
+The log-pipeline oracles compare Spark against a pure-Python canonical
+implementation materialized as an expected parquet (fixtures.py). This module
+extends that technique to the LLM-data operators: minhash signatures, simhash
+values, FNV fingerprints, hyperplane-LSH bands and IVF cell assignments are
+computed here with the SAME numpy batch kernels the Spark pandas UDFs call
+(operators/dedup.py, operators/similarity.py) over the driver's testdata
+parquet, written once under .fixtures/, and the oracle SQL reproduces the
+banding joins / reranks in DuckDB over those columns. The Spark query path
+never reads these files — independence is one-directional by construction.
+
+Engine-hash note: the Spark-side minhash banding shuffles on
+xxhash64(band slice) for key compactness; the oracle joins on the exact
+band slice instead. The pair sets are identical absent an xxhash64 collision
+between docs sharing a band index (probability ~n_pairs / 2^64).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# bump when any refimpl kernel or parameter below changes semantics
+_AUX_VERSION = 1
+
+# parameters pinned to the __spark_entry__ query definitions
+MINHASH_NUM_PERM = 64
+MINHASH_SHINGLE_K = 5
+SIMHASH_SHINGLE_K = 4
+LSH_N_PLANES = 32
+LSH_BANDS = 8
+LSH_SEED = 13
+IVF_N_CELLS = 8
+IVF_N_PROBE = 4
+IVF_SEED = 17
+IVF_ITERS = 5
+IVF_SAMPLE_ROWS = 4096
+N_QUERIES = 3   # queries are vec_id < 3
+
+# Java \s (ASCII-only), matching Spark's regexp_replace(col, r"\s+", " ")
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def normalized_text_py(t: str) -> str:
+    """Python replica of operators.dedup.normalized_text (JVM expressions:
+    lower -> collapse \\s+ -> trim)."""
+    if t is None:
+        return None
+    return _JAVA_WS.sub(" ", t.lower()).strip(" ")
+
+
+def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
+    """Materialize (idempotently) the aux parquet files for `sf_dir` and
+    return {name: path}. Names: doc_aux, emb_bands, emb_cells, emb_probes."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(fixture_root,
+                           f"dataaux_{tag}_v{_AUX_VERSION}")
+    paths = {
+        "doc_aux": os.path.join(out_dir, "doc_aux.parquet"),
+        "emb_bands": os.path.join(out_dir, "emb_bands.parquet"),
+        "emb_cells": os.path.join(out_dir, "emb_cells.parquet"),
+        "emb_probes": os.path.join(out_dir, "emb_probes.parquet"),
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(out_dir, exist_ok=True)
+
+    from .kernels import fnv1a_series
+    from .operators.dedup import minhash_sig_batch, simhash_batch
+    from .operators.similarity import (assign_cells_np, hyperplane_planes,
+                                       hyperplane_sig_np, kmeans_cells,
+                                       probe_cells_np)
+
+    # ---- documents: minhash sig / simhash / fnv fingerprint ---------------
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = pd.Series(docs.column("text").to_pylist())
+
+    sigs = minhash_sig_batch(texts, MINHASH_NUM_PERM, MINHASH_SHINGLE_K)
+    sims = simhash_batch(texts, SIMHASH_SHINGLE_K)
+    norm = texts.map(normalized_text_py)
+    fnv = fnv1a_series(norm).view("int64")
+
+    doc_tbl = pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "sig": pa.array([s.tolist() for s in sigs],
+                        pa.list_(pa.int64())),
+        "simhash": pa.array(sims.tolist(), pa.int64()),
+        "fingerprint": pa.array(fnv.tolist(), pa.int64()),
+    })
+    _atomic_write(doc_tbl, paths["doc_aux"])
+
+    # ---- embeddings: LSH bands + IVF cells/probes --------------------------
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    vec_ids = np.asarray(emb.column("vec_id").to_pylist(), dtype=np.int64)
+    vm = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    dim = vm.shape[1]
+
+    planes = hyperplane_planes(dim, LSH_N_PLANES, LSH_SEED)
+    sig = hyperplane_sig_np(vm, planes).view(np.uint64)
+    width = LSH_N_PLANES // LSH_BANDS
+    mask = np.uint64((1 << width) - 1)
+    band_rows = {"vec_id": [], "band": [], "bucket": []}
+    for b in range(LSH_BANDS):
+        bucket = ((sig >> np.uint64(b * width)) & mask).view(np.int64)
+        band_rows["vec_id"].extend(vec_ids.tolist())
+        band_rows["band"].extend([b] * len(vec_ids))
+        band_rows["bucket"].extend(bucket.tolist())
+    _atomic_write(pa.table({
+        "vec_id": pa.array(band_rows["vec_id"], pa.int64()),
+        "band": pa.array(band_rows["band"], pa.int32()),
+        "bucket": pa.array(band_rows["bucket"], pa.int64()),
+    }), paths["emb_bands"])
+
+    # IVF: replicate train_ivf_centroids (stride=1: first sample_rows by id)
+    order = np.argsort(vec_ids, kind="stable")
+    sample = vm[order][:IVF_SAMPLE_ROWS]
+    x = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cents = kmeans_cells(x, IVF_N_CELLS, IVF_ITERS, IVF_SEED)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    cells = assign_cells_np(vm, cn)
+    _atomic_write(pa.table({
+        "vec_id": pa.array(vec_ids.tolist(), pa.int64()),
+        "ivf_cell": pa.array(cells.tolist(), pa.int32()),
+    }), paths["emb_cells"])
+
+    qmask = vec_ids < N_QUERIES
+    probes = probe_cells_np(vm[qmask], cn, IVF_N_PROBE)
+    qids = vec_ids[qmask]
+    _atomic_write(pa.table({
+        "query_id": pa.array(np.repeat(qids, IVF_N_PROBE).tolist(),
+                             pa.int64()),
+        "ivf_cell": pa.array(probes.reshape(-1).tolist(), pa.int32()),
+    }), paths["emb_probes"])
+    return paths
+
+
+def _atomic_write(tbl: pa.Table, path: str) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)

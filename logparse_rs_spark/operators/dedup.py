@@ -78,37 +78,46 @@ def _char_shingle_hashes(texts: pd.Series, k: int) -> list:
     return out
 
 
+def minhash_sig_batch(texts: pd.Series, num_perm: int = 64,
+                      shingle_k: int = 5) -> list:
+    """Pure-numpy minhash signature batch — the single implementation shared
+    by the Spark pandas UDF and the oracle fixture generator (so the two
+    sides can never drift)."""
+    a = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+    b = _splitmix64(np.arange(1001, 1001 + num_perm, dtype=np.uint64))
+    shingles = _char_shingle_hashes(texts, shingle_k)
+    sigs = []
+    for h in shingles:
+        if len(h) == 0:
+            sigs.append(np.zeros(num_perm, dtype=np.int64))
+            continue
+        # (n, p) affine permutation; min over shingles per permutation
+        vals = h[:, None] * a[None, :] + b[None, :]
+        sigs.append(vals.min(axis=0).view(np.int64))
+    return sigs
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 64,
                        shingle_k: int = 5) -> DataFrame:
     """(id, sig array<long>) — minhash over char-k shingles with num_perm
     affine permutations computed as one (n_shingles x num_perm) numpy min."""
-    a = _splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
-    b = _splitmix64(np.arange(1001, 1001 + num_perm, dtype=np.uint64))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
-        shingles = _char_shingle_hashes(texts, shingle_k)
-        sigs = []
-        for h in shingles:
-            if len(h) == 0:
-                sigs.append(np.zeros(num_perm, dtype=np.int64))
-                continue
-            # (n, p) affine permutation; min over shingles per permutation
-            vals = h[:, None] * a[None, :] + b[None, :]
-            sigs.append(vals.min(axis=0).view(np.int64))
+        sigs = minhash_sig_batch(texts, num_perm, shingle_k)
         return pd.Series([s.tolist() for s in sigs], index=texts.index)
 
     return docs.select(F.col(id_col), _sig(F.col(text_col)).alias("sig"))
 
 
 def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                      bands: int = 16) -> DataFrame:
+                      bands: int = 16, num_perm: int = 64) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
-    num_perm must be divisible by bands. Pure DataFrame ops:
-    explode band hashes -> groupBy bucket self-join -> distinct pairs."""
-    sig_len_df = signatures.select(F.size("sig").alias("n")).limit(1).collect()
-    rows_per_band = (sig_len_df[0]["n"] // bands) if sig_len_df else 0
+    num_perm (the signature length) must be divisible by bands. Pure
+    DataFrame ops: explode band hashes -> groupBy bucket self-join ->
+    distinct pairs."""
+    rows_per_band = num_perm // bands
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -133,26 +142,32 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
     )
 
 
+def simhash_batch(texts: pd.Series, shingle_k: int = 4) -> np.ndarray:
+    """Pure-numpy simhash batch — shared by the Spark UDF and the oracle
+    fixture generator."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    shingles = _char_shingle_hashes(texts, shingle_k)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for i, h in enumerate(shingles):
+        if len(h) == 0:
+            continue
+        bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1))
+        score = bits.astype(np.int64).sum(axis=0) * 2 - len(h)
+        v = np.uint64(0)
+        for j in range(64):
+            if score[j] > 0:
+                v |= np.uint64(1) << np.uint64(j)
+        out[i] = np.int64(v.astype(np.uint64).view(np.int64))
+    return out
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             shingle_k: int = 4) -> DataFrame:
     """64-bit simhash per doc: sign-sum of shingle-hash bit vectors."""
 
     @F.pandas_udf(T.LongType())
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        shingles = _char_shingle_hashes(texts, shingle_k)
-        bit_idx = np.arange(64, dtype=np.uint64)
-        for i, h in enumerate(shingles):
-            if len(h) == 0:
-                continue
-            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1))
-            score = bits.astype(np.int64).sum(axis=0) * 2 - len(h)
-            v = np.uint64(0)
-            for j in range(64):
-                if score[j] > 0:
-                    v |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(v.astype(np.uint64).view(np.int64))
-        return pd.Series(out, index=texts.index)
+        return pd.Series(simhash_batch(texts, shingle_k), index=texts.index)
 
     return docs.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
 

@@ -79,22 +79,32 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def hyperplane_planes(dim: int, n_planes: int = 32,
+                      seed: int = 13) -> np.ndarray:
+    """The fixed random hyperplane matrix — seeded, deterministic across
+    runs and engines (shared by the Spark path and the oracle refimpl)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_sig_np(vm: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit signatures for a (rows, dim) float64 matrix, as int64."""
+    bits = (vm @ planes.T) > 0                         # (rows, n_planes)
+    weights = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))
+    return (bits.astype(np.uint64) @ weights).view(np.int64)
+
+
 def hyperplane_signatures(vectors: DataFrame, dim: int, n_planes: int = 32,
                           seed: int = 13, id_col: str = "vec_id",
                           vec_col: str = "embedding") -> DataFrame:
     """Sign-bit signature per vector under `n_planes` fixed random
     hyperplanes (seeded — deterministic across runs and engines)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = hyperplane_planes(dim, n_planes, seed)
 
     @F.pandas_udf(T.LongType())
     def sig(vecs: pd.Series) -> pd.Series:
         vm = np.array(vecs.tolist(), dtype=np.float64)
-        bits = (vm @ planes.T) > 0                     # (rows, n_planes)
-        weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
-        return pd.Series(
-            (bits.astype(np.uint64) @ weights).view(np.int64),
-            index=vecs.index)
+        return pd.Series(hyperplane_sig_np(vm, planes), index=vecs.index)
 
     return vectors.withColumn("lsh_sig", sig(F.col(vec_col)))
 
@@ -110,29 +120,16 @@ def ivf_assign(vectors: DataFrame, centroids: "np.ndarray",
     @F.pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
         vm = np.array(vecs.tolist(), dtype=np.float64)
-        norms = np.linalg.norm(vm, axis=1)
-        norms[norms == 0] = 1.0
-        sims = (vm / norms[:, None]) @ cn.T
-        return pd.Series(sims.argmax(axis=1).astype("int32"),
-                         index=vecs.index)
+        return pd.Series(assign_cells_np(vm, cn), index=vecs.index)
 
     return vectors.withColumn(out_col, assign(F.col(vec_col)))
 
 
-def train_ivf_centroids(vectors: DataFrame, n_cells: int = 16,
-                        iters: int = 5, seed: int = 17,
-                        vec_col: str = "embedding",
-                        sample_rows: int = 4096) -> "np.ndarray":
-    """Deterministic mini k-means on a seeded sample (collected to the
-    driver — at 10^12 scale you train on a fixed-size sample regardless of
-    table size, so this stays O(sample))."""
-    # deterministic sample: order by a hash of the vector bytes, not by
-    # partition layout
-    sample = (vectors.select(vec_col)
-              .orderBy(F.xxhash64(F.col(vec_col).cast("string")))
-              .limit(sample_rows).collect())
-    x = np.array([r[vec_col] for r in sample], dtype=np.float64)
-    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+def kmeans_cells(x: np.ndarray, n_cells: int, iters: int = 5,
+                 seed: int = 17) -> np.ndarray:
+    """Deterministic spherical mini k-means over a (rows, dim) matrix of
+    already-normalized vectors — shared by the Spark trainer and the oracle
+    refimpl."""
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(iters):
@@ -146,6 +143,44 @@ def train_ivf_centroids(vectors: DataFrame, n_cells: int = 16,
                 if n > 0:
                     cents[c] = m / n
     return cents
+
+
+def assign_cells_np(vm: np.ndarray, cn: np.ndarray) -> np.ndarray:
+    """Nearest-centroid (cosine) cell per row of vm; cn pre-normalized."""
+    norms = np.linalg.norm(vm, axis=1)
+    norms[norms == 0] = 1.0
+    return ((vm / norms[:, None]) @ cn.T).argmax(axis=1).astype("int32")
+
+
+def probe_cells_np(vm: np.ndarray, cn: np.ndarray, n_probe: int) -> np.ndarray:
+    """(rows, n_probe) nearest cells per query row; cn pre-normalized."""
+    norms = np.linalg.norm(vm, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (vm / norms[:, None]) @ cn.T
+    return np.argsort(-sims, axis=1)[:, :n_probe].astype("int32")
+
+
+def train_ivf_centroids(vectors: DataFrame, n_cells: int = 16,
+                        iters: int = 5, seed: int = 17,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        sample_rows: int = 4096,
+                        sample_stride: int = 1) -> "np.ndarray":
+    """Deterministic mini k-means on an id-keyed sample (collected to the
+    driver — at 10^12 scale you train on a fixed-size sample regardless of
+    table size, so this stays O(sample)).
+
+    Sampling is input-deterministic and engine-replicable: thin by
+    ``pmod(id, stride) == 0`` (a pure filter, no full-table sort), then take
+    the first ``sample_rows`` by id via TakeOrdered over the thinned set.
+    At 10^12 rows pick stride ~ n / (10 * sample_rows)."""
+    cand = vectors.select(id_col, vec_col)
+    if sample_stride > 1:
+        cand = cand.filter(F.pmod(F.col(id_col), F.lit(sample_stride)) == 0)
+    sample = cand.orderBy(id_col).limit(sample_rows).collect()
+    x = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return kmeans_cells(x, n_cells, iters, seed)
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
@@ -167,10 +202,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
         vm = np.array(vecs.tolist(), dtype=np.float64)
-        norms = np.linalg.norm(vm, axis=1)
-        norms[norms == 0] = 1.0
-        sims = (vm / norms[:, None]) @ cn.T
-        order = np.argsort(-sims, axis=1)[:, :n_probe].astype("int32")
+        order = probe_cells_np(vm, cn, n_probe)
         return pd.Series([row.tolist() for row in order], index=vecs.index)
 
     q = (queries.withColumn("ivf_cell",
@@ -179,7 +211,9 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
                  "ivf_cell").alias("q"))
     cands = (assigned.join(F.broadcast(q), "ivf_cell")
              .select(F.col(query_id_col), F.col(f"v.{id_col}").alias(id_col),
-                     F.col(f"v.{vec_col}").alias("v_vec"), F.col("q_vec"))
+                     F.col(f"v.{vec_col}").cast("array<double>")
+                     .alias("v_vec"),
+                     F.col("q_vec").cast("array<double>").alias("q_vec"))
              .dropDuplicates([query_id_col, id_col]))
     dot = F.aggregate(F.zip_with("v_vec", "q_vec", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
@@ -225,8 +259,8 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                & (F.col("v.bucket") == F.col("q.bucket")))
         .select(F.col(f"q.{query_id_col}").alias(query_id_col),
                 F.col(f"v.{id_col}").alias(id_col),
-                F.col(f"v.{vec_col}").alias("v_vec"),
-                F.col(f"q.{vec_col}").alias("q_vec"))
+                F.col(f"v.{vec_col}").cast("array<double>").alias("v_vec"),
+                F.col(f"q.{vec_col}").cast("array<double>").alias("q_vec"))
         .dropDuplicates([query_id_col, id_col])
     )
     # exact cosine on candidates, JVM-side higher-order functions
