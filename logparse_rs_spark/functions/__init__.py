@@ -56,9 +56,37 @@ def _qfields_of(raw: pd.Series) -> pd.Series:
     return out
 
 
+@F.pandas_udf(T.StringType())
+def _line_of_raw(raw: pd.Series) -> pd.Series:
+    """Raw-line variant (NDJSON path parity, bindings lib.rs:394-463: the
+    reference parses the raw line — no syslog strip, no trim). Only a single
+    trailing \\r is removed, replicating the Python path's universal-newline
+    decoding of CRLF files (spark.read.text splits on \\n alone)."""
+    return raw.str.replace(r"\r$", "", regex=True)
+
+
+@F.pandas_udf(T.LongType())
+def _hash64_of_raw(raw: pd.Series) -> pd.Series:
+    line = raw.str.replace(r"\r$", "", regex=True)
+    return pd.Series(fnv1a_series(line).view("int64"), index=line.index)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _qfields_of_raw(raw: pd.Series) -> pd.Series:
+    line = raw.str.replace(r"\r$", "", regex=True)
+    has_quote = line.str.contains('"', regex=False)
+    out = pd.Series([None] * len(line), index=line.index, dtype=object)
+    if has_quote.any():
+        out[has_quote] = line[has_quote].map(split_csv)
+    return out
+
+
 line_of = _line_of.asNondeterministic()
 hash64_of = _hash64_of.asNondeterministic()
 qfields_of = _qfields_of.asNondeterministic()
+line_of_raw = _line_of_raw.asNondeterministic()
+hash64_of_raw = _hash64_of_raw.asNondeterministic()
+qfields_of_raw = _qfields_of_raw.asNondeterministic()
 
 
 def fnv1a_col(col, salt_bytes: bytes = b"") -> F.Column:

@@ -25,7 +25,7 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -112,13 +112,42 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                      bands: int = 16, num_perm: int = 64) -> DataFrame:
+                      bands: int = 16, num_perm: int = 64,
+                      max_bucket: Optional[int] = None) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
     num_perm (the signature length) must be divisible by bands. Pure
     DataFrame ops: explode band hashes -> groupBy bucket self-join ->
-    distinct pairs."""
+    distinct pairs.
+
+    ``max_bucket`` caps the per-(band, bucket) membership used for the
+    self-join: a bucket with c members contributes c*(c-1)/2 pairs, so one
+    duplicate-heavy cluster (10^6 identical docs share EVERY band bucket)
+    otherwise explodes to O(c^2) at exactly the corpus scale where dedup
+    matters. Oversized buckets are dropped from the join — run exact_dedup
+    first (see minhash_near_dup) so identical docs collapse to one member
+    and a capped bucket only ever drops genuinely-distinct long tails.
+    Use lsh_bucket_stats for the dropped-membership accounting."""
+    banded = _banded(signatures, id_col, bands, num_perm)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (banded.withColumn("_bsz", F.count("*").over(w))
+                  .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.bucket") == F.col("r.bucket"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def _banded(signatures: DataFrame, id_col: str, bands: int,
+            num_perm: int) -> DataFrame:
     rows_per_band = num_perm // bands
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -130,16 +159,46 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band", "bucket"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(right, (F.col("l.band") == F.col("r.band"))
-                  & (F.col("l.bucket") == F.col("r.bucket"))
-                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .select(F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
+
+
+def lsh_bucket_stats(signatures: DataFrame, id_col: str = "doc_id",
+                     bands: int = 16, num_perm: int = 64,
+                     max_bucket: int = 1000) -> DataFrame:
+    """Side-output accounting for the bucket cap: one row per oversized
+    (band, bucket) with its membership — the 'what did the cap drop'
+    answer a 100 TB dedup run must be able to report."""
+    return (_banded(signatures, id_col, bands, num_perm)
+            .groupBy("band", "bucket")
+            .agg(F.count("*").alias("members"))
+            .filter(F.col("members") > max_bucket))
+
+
+def minhash_near_dup(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", num_perm: int = 64,
+                     bands: int = 16, shingle_k: int = 5,
+                     max_bucket: Optional[int] = 1000) -> DataFrame:
+    """The composed duplicate-heavy-safe near-dup plan:
+
+        exact_dedup (hash groupBy, collapses identical texts)
+          -> minhash signatures over CANONICAL docs only
+          -> capped LSH band join
+
+    Exact-dup clusters — the dominant duplication mode in web corpora —
+    never reach the band join, so the classic blowup (a million identical
+    docs sharing every band bucket) is structurally impossible; the bucket
+    cap then bounds the residual near-dup clusters. Returns candidate pairs
+    between canonical doc ids (pair of cluster representatives)."""
+    canon = (
+        docs.select(F.col(id_col), F.col(text_col),
+                    F.xxhash64(normalized_text(F.col(text_col)))
+                    .alias("text_key"))
+        .groupBy("text_key")
+        .agg(F.min(id_col).alias(id_col),
+             F.min_by(text_col, F.col(id_col)).alias(text_col))
     )
+    sigs = minhash_signatures(canon, text_col, id_col, num_perm, shingle_k)
+    return minhash_lsh_pairs(sigs, id_col, bands, num_perm,
+                             max_bucket=max_bucket)
 
 
 def simhash_batch(texts: pd.Series, shingle_k: int = 4) -> np.ndarray:
@@ -173,9 +232,22 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
-                       chunks: int = 4) -> DataFrame:
-    """Near-dup candidates: pairs sharing at least one 16-bit simhash chunk
-    (any pair within Hamming distance chunks-1 must collide in some chunk)."""
+                       chunks: int = 4,
+                       max_bucket: Optional[int] = None) -> DataFrame:
+    """Near-dup candidates: pairs sharing at least one 64/chunks-bit simhash
+    chunk.
+
+    GUARANTEE (pigeonhole): any pair within Hamming distance chunks-1 agrees
+    on at least one chunk, so recall is 1.0 for that radius; pairs farther
+    apart may or may not collide. Choosing chunks = radius+1 is the Manku
+    et al. block design. Cost note for 10^9+ docs: a chunk table has
+    2^(64/chunks) buckets, so expected self-join work is ~n^2/2^(64/chunks)
+    per chunk — survivable at chunks=4 (65,536 buckets) only with
+    exact-dedup-first plus the ``max_bucket`` cap, which drops buckets whose
+    membership exceeds the cap (duplicate-heavy clusters; see
+    minhash_near_dup for the same pattern and lsh_bucket_stats-style
+    accounting). At larger radii use more tables over bit permutations
+    rather than narrower chunks."""
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = sim.select(
@@ -186,6 +258,10 @@ def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
             for i in range(chunks)
         ])).alias("chunk_idx", "chunk_val"),
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("chunk_idx", "chunk_val")
+        chunked = (chunked.withColumn("_bsz", F.count("*").over(w))
+                   .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
     l, r = chunked.alias("l"), chunked.alias("r")
     pairs = (
         l.join(r, (F.col("l.chunk_idx") == F.col("r.chunk_idx"))

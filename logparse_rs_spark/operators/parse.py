@@ -29,7 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..anonymizer import CompiledAnonymizer
-from ..functions import hash64_of, line_of, qfields_of
+from ..functions import (hash64_of, hash64_of_raw, line_of, line_of_raw,
+                         qfields_of, qfields_of_raw)
 from ..schema import CompiledSchema
 from .anonymize import anonymize_expr
 
@@ -51,8 +52,14 @@ def explode_lines(pages: DataFrame, keep_cols: Iterable[str] = ("lang",)) -> Dat
 
 
 def parse_lines(lines: DataFrame, schema: CompiledSchema,
-                raw_col: str = "raw_line") -> DataFrame:
-    """Attach line/hash64/fields/log_type/status to exploded lines."""
+                raw_col: str = "raw_line",
+                strip_prefix: bool = True) -> DataFrame:
+    """Attach line/hash64/fields/log_type/status to exploded lines.
+
+    strip_prefix=True (pipeline default) removes syslog prefixes and trims
+    whitespace before dispatch/hash/excerpt; strip_prefix=False parses the
+    raw line exactly like the reference's NDJSON path
+    (bindings/python/src/lib.rs:394-463)."""
     known = list(schema.type_to_fields)
     n_fields = F.size(F.col("_fields"))
     # extract_field(line, 3) edge semantics (tokenizer.rs:4-65): value when
@@ -68,9 +75,11 @@ def parse_lines(lines: DataFrame, schema: CompiledSchema,
         # one ArrowEvalPython stage: line + hash + rare quoted split (the
         # hash UDF is pruned automatically by queries that never read hash64)
         .withColumns({
-            "line": line_of(F.col(raw_col)),
-            "_hash64": hash64_of(F.col(raw_col)),
-            "qfields": qfields_of(F.col(raw_col)),
+            "line": (line_of if strip_prefix else line_of_raw)(F.col(raw_col)),
+            "_hash64": (hash64_of if strip_prefix
+                        else hash64_of_raw)(F.col(raw_col)),
+            "qfields": (qfields_of if strip_prefix
+                        else qfields_of_raw)(F.col(raw_col)),
         })
         .drop(raw_col)
         # NOTE: the split fields array is deliberately NOT part of the parse

@@ -231,6 +231,57 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             .withColumn("cos_sim", F.round("cos_sim", 6)))
 
 
+def neardup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.35,
+                  n_planes: int = 32, bands: int = 16, seed: int = 13,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs >= cosine threshold, as the composed
+    scale plan: hyperplane-LSH band-bucket candidate self-join -> exact
+    cosine verify. Replaces the all-pairs cross product with an equi-join on
+    (band, bucket); only bucket-colliding pairs are scored.
+
+    Recall is a (banding, threshold, data) property: a pair at angle theta
+    collides in one band with p = (1 - theta/pi)^(n_planes/bands). The
+    defaults (width-2 bands) are tuned for LOW thresholds; real near-dup
+    dedup (threshold >= 0.8) wants wider bands (e.g. bands=8, width 4) where
+    the same code prunes hard. The correctness gate proves the composition
+    exact at the configured threshold against a DuckDB all-pairs oracle.
+    """
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    sigs = hyperplane_signatures(vectors, dim, n_planes, seed, id_col,
+                                 vec_col)
+    banded = sigs.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("lsh_sig"), i * width)
+            .bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ])).alias("band", "bucket"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col(f"l.{vec_col}").cast("array<double>").alias("v_a"),
+                F.col(f"r.{vec_col}").cast("array<double>").alias("v_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    scored = cands.withColumn(
+        "cos_sim",
+        F.when((norm(F.col("v_a")) == 0) | (norm(F.col("v_b")) == 0), 0.0)
+        .otherwise(dot / (norm(F.col("v_a")) * norm(F.col("v_b")))))
+    return (scored.filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              n_planes: int = 32, bands: int = 4, seed: int = 13,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -25,14 +25,19 @@ from pyspark.sql import functions as F
 
 def salt_column(df: DataFrame, salt_factor: int,
                 salt_col: str = "_salt") -> DataFrame:
-    """Deterministic per-row salt in [0, salt_factor): derived from a hash of
-    the whole row's natural identity is unnecessary — a uniform spread only
-    needs any row-varying input; monotonically varying rand would break
-    determinism, so hash the partition-local position via
-    spark_partition_id + a cheap per-row hash of all columns."""
+    """Per-row salt in [0, salt_factor) that spreads even FULLY DUPLICATE
+    rows (the classic hot key in log data is a million identical rows —
+    hashing column values alone would give them all one salt and salt
+    nothing). Mix the physical row position (partition id + partition-local
+    ordinal from monotonically_increasing_id) with a value hash: position
+    varies within a hot cluster regardless of values, the value hash keeps
+    the spread stable-ish across layouts. Salting is a performance hint —
+    results never depend on WHICH salt a row gets, so the physical-position
+    dependence is safe."""
+    pos = F.monotonically_increasing_id()   # partition id << 33 | ordinal
     return df.withColumn(
         salt_col,
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+        F.pmod(F.xxhash64(*([F.col(c) for c in df.columns] + [pos])),
                F.lit(salt_factor)).cast("int"),
     )
 
@@ -53,7 +58,11 @@ def salted_agg(df: DataFrame, keys: Sequence[str], aggs: Dict[str, str],
         arg = arg.rstrip(")")
         fn = fn.strip().lower()
         if fn == "count":
-            phase1_exprs.append(F.count("*").alias(out))
+            # count(col) counts non-nulls; count(*) counts rows — keep the
+            # distinction through the two-phase rewrite
+            phase1_exprs.append(
+                (F.count("*") if arg.strip() == "*" else F.count(arg))
+                .alias(out))
             phase2_exprs.append(F.sum(out).alias(out))
         elif fn == "sum":
             phase1_exprs.append(F.sum(arg).alias(out))

@@ -110,14 +110,20 @@ class TestNdjson:
 
     def test_spark_path_matches_python(self, api, tmp_path, spark):
         src = tmp_path / "in.log"
+        # includes a syslog-prefixed line and a CRLF-terminated line: the
+        # spark and python paths must parse the RAW line identically
+        # (lib.rs:394-463 — the reference NDJSON path never strips prefixes)
         lines = [EXEMPLAR, "", "bad,line", "a,b,c,NOPE,x",
-                 "x,y,z,SYSTEM,s,t", EXEMPLAR]
+                 "x,y,z,SYSTEM,s,t", EXEMPLAR,
+                 "Jan  1 00:00:00 host app: " + EXEMPLAR,
+                 "x,y,z,SYSTEM,s,crlf\r",
+                 "  " + EXEMPLAR]
         src.write_text("\n".join(lines))
         out_py = tmp_path / "py.ndjson"
         n_py = api.parse_file_to_ndjson(str(src), str(out_py), use_spark=False)
         out_sp = tmp_path / "sp_ndjson"
         n_sp = api.parse_file_to_ndjson(str(src), str(out_sp), use_spark=True)
-        assert n_py == n_sp == 3
+        assert n_py == n_sp == 6
         py_recs = sorted((json.loads(l) for l in
                           out_py.read_text().splitlines()),
                          key=lambda r: r["hash64"])

@@ -267,3 +267,50 @@ class TestIVF:
         a = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
         b = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
         assert a == b
+
+
+class TestDuplicateHeavy:
+    """VERDICT r1 #4: duplicate-heavy corpora must not blow up the band join."""
+
+    def test_near_dup_10k_identical(self, spark):
+        from logparse_rs_spark.operators.dedup import minhash_near_dup
+        rows = [(i, "the same exact document text, repeated verbatim "
+                    "across the whole cluster of identical pages")
+                for i in range(10_000)]
+        rows += [(100_000, "a genuinely different document about spark"),
+                 (100_001, "a genuinely different document about spark!")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_near_dup(df, max_bucket=100).collect()
+        # identical docs collapse to ONE canonical id before banding: the
+        # 10k-cluster contributes zero pairs instead of ~5*10^7
+        assert len(pairs) <= 5
+        for r in pairs:
+            assert r["id_a"] not in range(1, 10_000)
+            assert r["id_b"] not in range(1, 10_000)
+
+    def test_bucket_cap_drops_oversized(self, spark):
+        from logparse_rs_spark.operators.dedup import (lsh_bucket_stats,
+                                                       minhash_lsh_pairs)
+        # 50 DISTINCT ids sharing one signature -> every band bucket has 50
+        # members; the cap excludes them from the join
+        sig = list(range(64))
+        sigs = spark.createDataFrame([(i, sig) for i in range(50)],
+                                     "doc_id long, sig array<long>")
+        uncapped = minhash_lsh_pairs(sigs, bands=16, num_perm=64)
+        assert uncapped.count() == 50 * 49 // 2
+        capped = minhash_lsh_pairs(sigs, bands=16, num_perm=64, max_bucket=10)
+        assert capped.count() == 0
+        stats = lsh_bucket_stats(sigs, bands=16, num_perm=64, max_bucket=10)
+        assert stats.count() == 16           # one oversized bucket per band
+        assert stats.first()["members"] == 50
+
+    def test_simhash_bucket_cap(self, spark):
+        from logparse_rs_spark.operators.dedup import simhash_candidates
+        sims = spark.createDataFrame(
+            [(i, 0x1234_5678_9ABC_DEF0) for i in range(40)]
+            + [(1000, 0x7777_8888_9999_DEF1), (1001, 0x7777_8888_9999_DEF3)],
+            "doc_id long, simhash long")
+        capped = simhash_candidates(sims, max_bucket=10).collect()
+        # the 40-clone cluster is dropped; the two near rows still pair up
+        assert {(r["id_a"], r["id_b"]) for r in capped} == {(1000, 1001)}
+        assert capped[0]["hamming"] == 1

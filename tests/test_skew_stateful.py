@@ -122,3 +122,22 @@ class TestStatefulStreaming:
         assert len(rows) == 4  # each distinct (field, original) exactly once
         assert got == {("src", "1.1.1.1"): "T_a", ("src", "2.2.2.2"): "T_b",
                        ("src", "3.3.3.3"): "T_d", ("dst", "9.9.9.9"): "T_c"}
+
+
+class TestSaltSpread:
+    def test_identical_hot_rows_spread(self, spark):
+        """VERDICT r1 #7: a hot key whose rows are byte-identical must still
+        spread across salt_factor reducers."""
+        from logparse_rs_spark.operators.skew import salt_column
+        from pyspark.sql import functions as F
+        hot = spark.range(0, 5000).select(
+            F.lit("hotdomain.example").alias("k"), F.lit("x").alias("v"))
+        cold = spark.range(0, 5000).select(
+            F.concat(F.lit("d"), F.col("id")).alias("k"),
+            F.lit("y").alias("v"))
+        df = hot.unionAll(cold).repartition(8)
+        salted = salt_column(df, salt_factor=16)
+        per_salt = (salted.filter(F.col("k") == "hotdomain.example")
+                    .groupBy("_salt").count().collect())
+        assert len(per_salt) == 16          # all salt values used
+        assert max(r["count"] for r in per_salt) < 5000 * 0.25
