@@ -196,6 +196,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simhash, simhash_candidates)
         return simhash_candidates(simhash(_docs(spark, sf_dir)))
 
+    def doc_near_dup_dedup(spark, sf_dir):
+        # composed duplicate-heavy-safe plan: exact-dedup -> minhash over
+        # canonical docs -> capped LSH band join. The testdata has no exact
+        # dups, so the oracle is the plain banding over refimpl signatures —
+        # proving the composition is a pure optimization, not a semantic
+        # change, on dup-free input (the dup-heavy behavior is pytest-pinned)
+        from logparse_rs_spark.operators.dedup import minhash_near_dup
+        return minhash_near_dup(_docs(spark, sf_dir), max_bucket=1000)
+
     def doc_fingerprint_fnv(spark, sf_dir):
         from logparse_rs_spark.operators.text import fingerprint
         return fingerprint(_docs(spark, sf_dir), exact_fnv=True)
@@ -329,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": doc_lang_id,
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_minhash_pairs": doc_minhash_pairs,
+        "doc_near_dup_dedup": doc_near_dup_dedup,
         "doc_simhash_candidates": doc_simhash_candidates,
         "doc_fingerprint_fnv": doc_fingerprint_fnv,
         "emb_bruteforce_topk": emb_bruteforce_topk,
@@ -578,6 +588,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, fingerprint FROM {DOC_AUX}
         """,
         "doc_minhash_pairs": f"""
+            WITH b AS (
+              SELECT doc_id, band, sig[band*4+1 : band*4+4] AS key
+              FROM {DOC_AUX}
+              CROSS JOIN (SELECT unnest(range(16)) AS band)
+            )
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM b l JOIN b r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        """,
+        "doc_near_dup_dedup": f"""
             WITH b AS (
               SELECT doc_id, band, sig[band*4+1 : band*4+4] AS key
               FROM {DOC_AUX}

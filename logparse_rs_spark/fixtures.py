@@ -285,7 +285,17 @@ def ensure_fixture_pair(root: str, n_pages: int, seed: int = SEED,
     from .schema import load_schema
 
     here = os.path.dirname(__file__)
-    tag = f"n{n_pages}_s{seed}" + ("_anon" if anonymized else "")
+    # cache key includes a digest of the schema + anonymizer configs: editing
+    # either must invalidate previously-materialized expected outputs, or the
+    # oracle gate would silently compare against stale goldens
+    import hashlib
+    h = hashlib.sha256()
+    for cfg in ("schemas/schema.json", "configs/anonymizer.sample.json"):
+        with open(os.path.join(here, "..", cfg), "rb") as f:
+            h.update(f.read())
+    cfg_tag = h.hexdigest()[:8]
+    tag = (f"n{n_pages}_s{seed}" + ("_anon" if anonymized else "")
+           + f"_c{cfg_tag}")
     pages_path = os.path.join(root, f"pages_{tag}.parquet")
     expected_path = os.path.join(root, f"expected_{tag}.parquet")
     if os.path.exists(pages_path) and os.path.exists(expected_path):

@@ -43,6 +43,38 @@ def read_pages_stream(spark: SparkSession, path: str,
     )
 
 
+def read_lines_socket(spark: SparkSession, host: str = "localhost",
+                      port: int = 9999) -> DataFrame:
+    """Network line-ingest source (reference S4: the asyncio-queue HTTP
+    listener, README.md:437-470). Structured Streaming's socket source is
+    the sandbox-runnable network path; in production the same downstream
+    plan hangs off a Kafka source (format('kafka') + value cast) — the
+    contract is just a streaming DataFrame of raw log lines.
+
+    Identity note: a network line has no (url, line_ordinal) provenance, so
+    the stream path tags url='socket://host:port' and ordinal 0 — the
+    reference's queue ingest likewise has no per-line provenance beyond
+    arrival (README.md:452)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host).option("port", port).load()
+        .select(F.lit(f"socket://{host}:{port}").alias("url"),
+                F.lit(0).alias("line_ordinal"),
+                F.col("value").alias("raw_line"))
+    )
+
+
+def socket_type_counts(lines_stream: DataFrame,
+                       schema: CompiledSchema) -> DataFrame:
+    """Running routed-row counts per log type over a raw-line stream (the
+    reference's queue-ingest report loop)."""
+    from ..operators.parse import parse_lines
+
+    parsed = parse_lines(lines_stream, schema)
+    return (parsed.filter(F.col("status") == "ok")
+            .groupBy("log_type").agg(F.count("*").alias("n")))
+
+
 class HotReloadingSchema:
     """Per-micro-batch schema reload keyed on file mtime (S7 hot reload)."""
 

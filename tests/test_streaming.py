@@ -90,3 +90,62 @@ class TestStreaming:
         os.utime(p, (1, 1))
         p.write_text(json.dumps({"log_types": {"B": ["f0"]}}))
         assert set(r.get().type_to_fields) == {"B"}
+
+
+class TestSocketIngest:
+    """Reference S4 network path: socket line ingest -> parse -> counts."""
+
+    def test_socket_lines_counted(self, spark):
+        import socket
+        import threading
+        import time
+
+        from logparse_rs_spark.schema import load_schema
+        from logparse_rs_spark.streaming.stream import (read_lines_socket,
+                                                        socket_type_counts)
+
+        exemplar = ("1,2012/10/30 09:46:12,01606001116,TRAFFIC,start,1,"
+                    "2012/04/10 04:39:58,192.168.0.2,204.232.231.46,"
+                    "0.0.0.0,0.0.0.0,rule1,crusher,,web-browsing,vsys1")
+        system_line = "x,y,z,SYSTEM,s,t"
+        payload = "\n".join([exemplar, system_line, exemplar, "bad,line"]) + "\n"
+
+        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+        srv.listen(1)
+        stop = threading.Event()
+
+        def serve():
+            conn, _ = srv.accept()
+            conn.sendall(payload.encode())
+            stop.wait(30)           # keep the connection open until stopped
+            conn.close()
+
+        t = threading.Thread(target=serve, daemon=True)
+        t.start()
+
+        schema = load_schema(SCHEMA)
+        lines = read_lines_socket(spark, "127.0.0.1", port)
+        agg = socket_type_counts(lines, schema)
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName("socket_counts")
+             .trigger(processingTime="1 second")
+             .start())
+        try:
+            deadline = time.time() + 60
+            got = {}
+            while time.time() < deadline:
+                got = {r["log_type"]: r["n"] for r in
+                       spark.sql("SELECT * FROM socket_counts").collect()}
+                if got.get("TRAFFIC") == 2 and got.get("SYSTEM") == 1:
+                    break
+                time.sleep(0.5)
+            assert got.get("TRAFFIC") == 2
+            assert got.get("SYSTEM") == 1
+            assert "bad" not in got  # malformed line never counted
+        finally:
+            q.stop()
+            stop.set()
+            srv.close()

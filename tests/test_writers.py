@@ -1,0 +1,112 @@
+"""Sink-writer tests (SURVEY §2.1 S3/S5/S6, M1/M4).
+
+The sandbox has no Iceberg jars, so IcebergWriter's branching
+(create / append / overwritePartitions) is exercised against stub
+SparkSession/DataFrame objects; the fallback and the parquet writer's
+dynamic-overwrite semantics run for real.
+"""
+
+import os
+
+import pytest
+
+from logparse_rs_spark.sources import writers as W
+
+
+class _StubV2Writer:
+    def __init__(self, log, table):
+        self.log, self.table = log, table
+
+    def partitionedBy(self, *cols):
+        self.log.append(("partitionedBy", self.table, len(cols)))
+        return self
+
+    def create(self):
+        self.log.append(("create", self.table))
+
+    def append(self):
+        self.log.append(("append", self.table))
+
+    def overwritePartitions(self):
+        self.log.append(("overwritePartitions", self.table))
+
+
+class _StubDF:
+    def __init__(self, log):
+        self.log = log
+
+    def writeTo(self, table):
+        return _StubV2Writer(self.log, table)
+
+
+class _StubCatalog:
+    def __init__(self, existing):
+        self.existing = existing
+
+    def tableExists(self, fq):
+        return fq in self.existing
+
+
+class _StubSpark:
+    def __init__(self, existing=()):
+        self.catalog = _StubCatalog(set(existing))
+
+
+@pytest.fixture
+def iceberg_on(monkeypatch):
+    monkeypatch.setattr(W, "iceberg_available", lambda spark: True)
+
+
+class TestIcebergWriter:
+    def test_first_write_creates(self, iceberg_on, spark):
+        log = []
+        w = W.IcebergWriter(_StubSpark(), "lake")
+        fq = w.write(_StubDF(log), "sink_traffic", partition_by=["bucket"])
+        assert fq == "lake.sink_traffic"
+        assert ("partitionedBy", "lake.sink_traffic", 1) in log
+        assert ("create", "lake.sink_traffic") in log
+
+    def test_existing_overwrites_partitions(self, iceberg_on, spark):
+        log = []
+        w = W.IcebergWriter(_StubSpark({"lake.sink_traffic"}), "lake")
+        w.write(_StubDF(log), "sink_traffic", partition_by=["bucket"])
+        assert ("overwritePartitions", "lake.sink_traffic") in log
+        assert not any(op == "create" for op, *_ in log)
+
+    def test_existing_append(self, iceberg_on):
+        log = []
+        w = W.IcebergWriter(_StubSpark({"lake._audit"}), "lake")
+        w.write(_StubDF(log), "_audit", mode="append")
+        assert ("append", "lake._audit") in log
+
+    def test_constructor_raises_without_runtime(self):
+        with pytest.raises(RuntimeError):
+            W.IcebergWriter(_StubSpark(), "lake")  # real availability check
+            # (no jars in this sandbox)
+
+
+class TestMakeWriter:
+    def test_fallback_to_parquet(self, spark, tmp_path):
+        w = W.make_writer(spark, str(tmp_path))
+        assert isinstance(w, W.ParquetWriter)
+
+    def test_prefers_iceberg_when_available(self, monkeypatch):
+        monkeypatch.setattr(W, "iceberg_available", lambda spark: True)
+        w = W.make_writer(_StubSpark(), "lake")
+        assert isinstance(w, W.IcebergWriter)
+
+
+class TestParquetDynamicOverwrite:
+    def test_replay_replaces_only_touched_partitions(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        w = W.ParquetWriter(str(tmp_path))
+        df = spark.range(0, 100).select(
+            "id", F.pmod("id", F.lit(4)).cast("int").alias("bucket"))
+        w.write(df, "t", partition_by=["bucket"])
+        # replay bucket 1 with HALF the rows: only that partition changes
+        replay = df.filter("bucket = 1 and id < 50")
+        w.write(replay, "t", partition_by=["bucket"])
+        got = w.read(spark, "t").groupBy("bucket").count().collect()
+        counts = {r["bucket"]: r["count"] for r in got}
+        assert counts[0] == 25 and counts[2] == 25 and counts[3] == 25
+        assert counts[1] == 13  # ids 1,5,...,49
