@@ -201,7 +201,7 @@ def main() -> None:
         for _ in range(2):
             eff_now = (best[SCALING_N]["wall_s"]
                        / (4.0 * best[4 * SCALING_N]["wall_s"]))
-            if eff_now >= 0.7:
+            if eff_now >= 0.78:
                 break
             best = run_interleaved([SCALING_N, 4 * SCALING_N], 1)
     high = best[headline_cores]

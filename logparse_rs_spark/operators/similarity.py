@@ -259,27 +259,40 @@ def neardup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.35,
             for i in range(bands)
         ])).alias("band", "bucket"),
     )
-    l, r = banded.alias("l"), banded.alias("r")
-    cands = (
-        l.join(r, (F.col("l.band") == F.col("r.band"))
-               & (F.col("l.bucket") == F.col("r.bucket"))
-               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .select(F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"),
-                F.col(f"l.{vec_col}").cast("array<double>").alias("v_a"),
-                F.col(f"r.{vec_col}").cast("array<double>").alias("v_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    scored = cands.withColumn(
-        "cos_sim",
-        F.when((norm(F.col("v_a")) == 0) | (norm(F.col("v_b")) == 0), 0.0)
-        .otherwise(dot / (norm(F.col("v_a")) * norm(F.col("v_b")))))
-    return (scored.filter(F.col("cos_sim") >= threshold)
-            .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))
+
+    # score INSIDE each bucket with one numpy matmul (applyInPandas per
+    # (band, bucket) group) instead of joining 10^7s of candidate rows and
+    # folding per-pair: the >=threshold survivors are the only rows that
+    # ever leave the bucket. Per-group memory is O(bucket_size * dim) — at
+    # 10^12 rows pair this with a bucket-size cap (see dedup.max_bucket).
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vm, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (vm / norms[:, None]) @ (vm / norms[:, None]).T
+        ia, ib = np.triu_indices(n, 1)
+        keep = sims[ia, ib] >= threshold
+        ia, ib = ia[keep], ib[keep]
+        id_a = np.minimum(ids[ia], ids[ib])
+        id_b = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b,
+                             "cos_sim": sims[ia, ib]})
+
+    pairs = (banded.groupBy("band", "bucket")
+             .applyInPandas(score_bucket, schema=out_schema))
+    # a pair can surface from several bands; cos_sim is identical each time
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.round(F.min("cos_sim"), 6).alias("cos_sim")))
 
 
 def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
