@@ -93,6 +93,37 @@ AUDIT_TABLE = "_audit"
 REJECTS_TABLE = "_rejects"
 
 
+def build_map_payload(parsed: DataFrame, schema: CompiledSchema,
+                      anon_by_type: Dict[str, Optional[CompiledAnonymizer]]
+                      ) -> DataFrame:
+    """Type-erased map<string,string> payload for the long-tail map sinks:
+    one when-chain over the configured types, each branch zipping the
+    type's schema names with the split fields (anonymized per its plan)."""
+    from ..operators.anonymize import anonymize_expr
+    from ..operators.parse import fields_col
+
+    types = list(anon_by_type)
+    df = fields_col(parsed.filter(
+        (F.col("status") == STATUS_OK) & F.col("log_type").isin(types)))
+    payload = None
+    for t in types:
+        pairs = schema.effective_positions(t)
+        a = anon_by_type[t]
+        vals = []
+        for name, pos in pairs:
+            c = F.get(F.col("fields"), pos)
+            if a is not None:
+                c = anonymize_expr(c, a.plan_for(name), a.default_salt)
+            vals.append(c)
+        m = F.map_from_arrays(
+            F.array(*[F.lit(n) for n, _ in pairs]), F.array(*vals))
+        payload = (F.when(F.col("log_type") == t, m) if payload is None
+                   else payload.when(F.col("log_type") == t, m))
+    return df.select("url", "line_ordinal", "log_type",
+                     payload.alias("parsed"),
+                     "raw_excerpt", "hash64", "bucket")
+
+
 def with_bucket(pages: DataFrame, n_buckets: int) -> DataFrame:
     return pages.withColumn(
         "bucket", F.pmod(F.xxhash64(F.col("url")), F.lit(n_buckets)).cast("int")
@@ -245,38 +276,19 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
 
     def write_map_sinks(map_sinks: List[SinkSpec]) -> None:
         """All map-payload sinks in ONE write job: type-erased
-        map<string,string> parsed payload, table partitioned by
-        (log_type, bucket) so each type remains independently scannable
-        and bucket replays stay idempotent."""
-        from ..operators.anonymize import anonymize_expr
-        from ..operators.parse import fields_col
-
-        types = [s.log_type for s in map_sinks]
-        anon_by_type = {s.log_type: (anon if s.anonymize else None)
-                        for s in map_sinks}
-        df = fields_col(parsed.filter(
-            (F.col("status") == STATUS_OK) & F.col("log_type").isin(types)))
-        payload = None
-        for t in types:
-            pairs = schema.effective_positions(t)
-            a = anon_by_type[t]
-            vals = []
-            for name, pos in pairs:
-                c = F.get(F.col("fields"), pos)
-                if a is not None:
-                    c = anonymize_expr(c, a.plan_for(name), a.default_salt)
-                vals.append(c)
-            m = F.map_from_arrays(
-                F.array(*[F.lit(n) for n, _ in pairs]), F.array(*vals))
-            payload = (F.when(F.col("log_type") == t, m) if payload is None
-                       else payload.when(F.col("log_type") == t, m))
-        out = df.select("url", "line_ordinal", "log_type",
-                        payload.alias("parsed"),
-                        "raw_excerpt", "hash64", "bucket")
-        # cluster so each (log_type, bucket) dir gets exactly one file
-        out = out.repartition(cfg.n_buckets, "log_type", "bucket")
-        writer.write(out, map_sinks[0].table,
-                     partition_by=["log_type", "bucket"])
+        map<string,string> parsed payload. Partitioned by BUCKET only
+        (the replay/idempotence grain); log_type stays a data column,
+        sorted within each file so readers filtering one type skip row
+        groups via parquet min/max stats. Measured: (log_type, bucket)
+        dirs cost ~2x the commit time at 64 buckets, and at 4096 buckets
+        x T types the dir count would pressure catalog metadata for a
+        long-tail table that is rarely read per-type."""
+        out = build_map_payload(
+            parsed, schema,
+            {s.log_type: (anon if s.anonymize else None) for s in map_sinks})
+        out = (out.repartition(cfg.n_buckets, "bucket")
+               .sortWithinPartitions("log_type"))
+        writer.write(out, map_sinks[0].table, partition_by=["bucket"])
 
     def write_rejects() -> None:
         rejects = parsed.filter(F.col("status") != STATUS_OK).select(
