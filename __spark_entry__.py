@@ -196,6 +196,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simhash, simhash_candidates)
         return simhash_candidates(simhash(_docs(spark, sf_dir)))
 
+    def doc_curation_stats(spark, sf_dir):
+        # the end-to-end training-data curation shape: quality filter ->
+        # language filter -> exact-dedup survivors -> per-language corpus
+        # stats. Every stage is a narrow projection or a hash agg; the only
+        # shuffles are the dedup groupBy and the final per-lang agg.
+        from logparse_rs_spark.operators.dedup import normalized_text
+        from logparse_rs_spark.operators.text import (language_id,
+                                                      quality_score,
+                                                      token_counts)
+        docs = _docs(spark, sf_dir)
+        q = quality_score(docs)
+        l = language_id(docs).select("doc_id", "lang_pred")
+        t = token_counts(docs).select("doc_id", "bpe_token_est")
+        canon = (docs.select(
+                    "doc_id",
+                    F.xxhash64(normalized_text(F.col("text"))).alias("tk"))
+                 .groupBy("tk").agg(F.min("doc_id").alias("doc_id"))
+                 .select("doc_id"))
+        kept = (q.join(l, "doc_id").join(t, "doc_id").join(canon, "doc_id")
+                .join(docs.select("doc_id", "lang"), "doc_id")
+                .filter((F.col("alpha_ratio") >= 0.7)
+                        & (F.col("n_words") >= 30)
+                        & (F.col("lang_pred") != "unknown")))
+        return (kept.groupBy("lang")
+                .agg(F.count("*").alias("docs"),
+                     F.sum("bpe_token_est").alias("total_tokens"),
+                     F.round(F.avg("alpha_ratio"), 6).alias("avg_alpha")))
+
     def doc_near_dup_dedup(spark, sf_dir):
         # composed duplicate-heavy-safe plan: exact-dedup -> minhash over
         # canonical docs -> capped LSH band join. The testdata has no exact
@@ -339,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": doc_ngram_jaccard,
         "doc_minhash_pairs": doc_minhash_pairs,
         "doc_near_dup_dedup": doc_near_dup_dedup,
+        "doc_curation_stats": doc_curation_stats,
         "doc_simhash_candidates": doc_simhash_candidates,
         "doc_fingerprint_fnv": doc_fingerprint_fnv,
         "emb_bruteforce_topk": emb_bruteforce_topk,
@@ -376,7 +405,7 @@ def oracle_sql() -> dict[str, str]:
         f"FROM {E} WHERE status='ok' AND log_type='TRAFFIC' AND {d} IS NOT NULL"
         for d in ["source_address", "destination_address", "device_name"]
     )
-    return {
+    d = {
         "log_route_counts": f"""
             SELECT log_type, COUNT(*) AS n FROM {E}
             WHERE status = 'ok' GROUP BY log_type
@@ -692,3 +721,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
     }
+    # composed curation oracle: reuse the quality / lang / token SQL bodies
+    # as CTEs so the composition can never drift from the per-op oracles
+    d["doc_curation_stats"] = f'''
+        WITH q AS ({d["doc_quality"]}),
+             l AS ({d["doc_lang_id"]}),
+             t AS ({d["doc_token_counts"]}),
+             canon AS (
+               SELECT min(doc_id) AS doc_id FROM (
+                 SELECT doc_id,
+                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                 FROM documents)
+               GROUP BY nt)
+        SELECT d.lang, COUNT(*) AS docs,
+               SUM(t.bpe_token_est)::BIGINT AS total_tokens,
+               round(avg(q.alpha_ratio), 6) AS avg_alpha
+        FROM q JOIN l USING (doc_id) JOIN t USING (doc_id)
+               JOIN canon USING (doc_id)
+               JOIN documents d USING (doc_id)
+        WHERE q.alpha_ratio >= 0.7 AND q.n_words >= 30
+          AND l.lang_pred <> 'unknown'
+        GROUP BY d.lang
+    '''
+    return d
