@@ -38,7 +38,7 @@ from ..anonymizer import CompiledAnonymizer, load_anonymizer
 from ..operators.anonymize import audit_table
 from ..operators.parse import STATUS_OK, parse_lines, explode_lines, project_type
 from ..schema import CompiledSchema, load_schema
-from ..sources.writers import ParquetWriter
+from ..sources.writers import ParquetWriter, make_writer
 
 
 @dataclass
@@ -71,6 +71,7 @@ class PipelineConfig:
                                  "device_name")
     write_rejects: bool = True
     partitions_per_run: Optional[int] = None   # task parallelism; default 2x cores
+    writer: Optional[object] = None   # injected sink writer; default make_writer
 
 
 @dataclass
@@ -157,7 +158,11 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
     run_id = uuid.uuid4().hex[:12]
     schema = load_schema(cfg.schema_path)
     anon = load_anonymizer(cfg.anonymizer_path) if cfg.anonymizer_path else None
-    writer = ParquetWriter(cfg.out_root)
+    # Iceberg when the runtime has it (north rule: Iceberg sinks; out_root is
+    # then a catalog namespace), parquet-dirs otherwise — same idempotent
+    # replace-only-touched-partitions semantics either way
+    writer = (make_writer(spark, cfg.out_root) if cfg.writer is None
+              else cfg.writer)
 
     bucketed = with_bucket(pages, cfg.n_buckets)
 

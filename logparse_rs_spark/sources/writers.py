@@ -79,7 +79,9 @@ class IcebergWriter:
     """Iceberg sink: writeTo(...).overwritePartitions() for idempotent bucket
     replays, createOrReplace on first write. Requires the Iceberg Spark
     runtime jars + a configured catalog; constructor raises if absent so
-    callers fall back to ParquetWriter."""
+    callers fall back to ParquetWriter. Implements the same surface as
+    ParquetWriter (write/append/read/tables) so plans.pipeline can use
+    either interchangeably via make_writer."""
 
     def __init__(self, spark: SparkSession, namespace: str):
         if not iceberg_available(spark):
@@ -89,7 +91,11 @@ class IcebergWriter:
 
     def write(self, df: DataFrame, table: str,
               partition_by: Optional[Iterable[str]] = None,
-              mode: str = "overwrite") -> str:
+              mode: str = "overwrite",
+              overwrite_mode: Optional[str] = None) -> str:
+        """overwrite_mode="static" maps to truncate-and-replace
+        (createOrReplace); the default is overwritePartitions — replace only
+        the partitions present in df, Iceberg's idempotent-replay form."""
         fq = f"{self.namespace}.{table}"
         writer = df.writeTo(fq)
         if partition_by:
@@ -99,9 +105,25 @@ class IcebergWriter:
             writer.create()
         elif mode == "append":
             df.writeTo(fq).append()
+        elif overwrite_mode == "static":
+            writer.createOrReplace()
         else:
             df.writeTo(fq).overwritePartitions()
         return fq
+
+    def append(self, df: DataFrame, table: str,
+               partition_by: Optional[Iterable[str]] = None) -> str:
+        return self.write(df, table, partition_by, mode="append")
+
+    def read(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
+        fq = f"{self.namespace}.{table}"
+        if not spark.catalog.tableExists(fq):
+            return None
+        return spark.table(fq)
+
+    def tables(self) -> list:
+        return sorted(t.name for t in
+                      self.spark.catalog.listTables(self.namespace))
 
 
 def _has_parquet(path: str) -> bool:
