@@ -80,14 +80,16 @@ def salted_agg(df: DataFrame, keys: Sequence[str], aggs: Dict[str, str],
     return partial.groupBy(*keys).agg(*phase2_exprs)
 
 
-def hot_keys(df: DataFrame, key: str, threshold_fraction: float = 0.01,
-             approx: bool = True) -> List:
+def hot_keys(df: DataFrame, key: str, threshold_fraction: float = 0.01) -> List:
     """Keys holding more than `threshold_fraction` of rows (the candidates
-    worth salting). Uses a single aggregation; with approx=True the count
-    per key is exact but the scan benefits from partial aggregation anyway —
-    kept simple because the key cardinality post-agg is assumed modest."""
-    total = df.count()
-    cutoff = max(int(total * threshold_fraction), 1)
-    rows = (df.groupBy(key).count()
-            .filter(F.col("count") >= cutoff).collect())
+    worth salting). ONE scan of df: the grouped counts are cached, the total
+    derives from their sum, and both follow-ups run over the (modest)
+    post-agg key cardinality instead of rescanning the input."""
+    grouped = df.groupBy(key).agg(F.count("*").alias("count")).persist()
+    try:
+        total = grouped.agg(F.sum("count")).first()[0] or 0
+        cutoff = max(int(total * threshold_fraction), 1)
+        rows = grouped.filter(F.col("count") >= cutoff).collect()
+    finally:
+        grouped.unpersist()
     return [r[key] for r in rows]
