@@ -52,24 +52,33 @@ def _load(spark_or_none=None):
     return schema, anon
 
 
+# one parse per (session, fixture): the 11 log_* queries share the parsed
+# frame instead of re-running the Python parse stage each — keyed on the
+# Spark applicationId so a fresh driver session never sees a stale handle
+_PARSED_CACHE: dict = {}
+
+
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logparse_rs_spark.operators.parse import parse_pages
 
     schema, _ = _load()
     pages_path, _ = _fixture_paths(sf_dir)
+    key = (spark.sparkContext.applicationId, pages_path)
+    cached = _PARSED_CACHE.get(key)
+    if cached is not None:
+        return cached
     pages = spark.read.parquet(pages_path)
-    return parse_pages(pages, schema)
+    df = parse_pages(pages, schema).persist()
+    _PARSED_CACHE[key] = df
+    return df
 
 
 def _traffic(spark: SparkSession, sf_dir: str, anonymized: bool = False) -> DataFrame:
-    from logparse_rs_spark.operators.parse import parse_pages, project_type
+    from logparse_rs_spark.operators.parse import project_type
 
     schema, anon = _load()
-    pages_path, _ = _fixture_paths(sf_dir)
-    pages = spark.read.parquet(pages_path)
-    parsed = parse_pages(pages, schema)
-    return project_type(parsed, schema, "TRAFFIC", columns=DIMS,
-                        anon=anon if anonymized else None)
+    return project_type(_parsed(spark, sf_dir), schema, "TRAFFIC",
+                        columns=DIMS, anon=anon if anonymized else None)
 
 
 def _expected_path_for_oracle() -> str:
@@ -129,11 +138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def log_integrity_table(spark, sf_dir):
         from logparse_rs_spark.operators.anonymize import audit_table
-        from logparse_rs_spark.operators.parse import parse_pages, project_type
+        from logparse_rs_spark.operators.parse import project_type
         schema, anon = _load()
-        pages_path, _ = _fixture_paths(sf_dir)
-        parsed = parse_pages(spark.read.parquet(pages_path), schema)
-        pre = project_type(parsed, schema, "TRAFFIC", columns=DIMS)
+        pre = project_type(_parsed(spark, sf_dir), schema, "TRAFFIC",
+                           columns=DIMS)
         return audit_table(pre, anon, DIMS)
 
     def log_enrich_lang_counts(spark, sf_dir):
