@@ -86,3 +86,54 @@ def streaming_integrity_feed(pairs_stream: DataFrame) -> DataFrame:
     return pairs_stream.groupBy("field").applyInPandasWithState(
         update, NEW_VALUES_OUTPUT, NEW_VALUES_STATE, "append",
         GroupStateTimeout.NoTimeout)
+
+
+DEDUP_OUTPUT = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text_key", T.LongType()),
+])
+DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
+
+
+def streaming_exact_dedup(docs_stream: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup over a document stream: emits each distinct
+    normalized text exactly once across the stream's lifetime, keyed by
+    xxhash64(normalized text). Within a micro-batch the canonical survivor
+    is the min doc_id (the batch operator's tie-break, dedup.exact_dedup);
+    across batches the first-seen batch wins.
+
+    State = one boolean per distinct text key, sharded by key across
+    executors and checkpointed — at ingest scale pair this with the RocksDB
+    state store; the batch exact_dedup remains the backfill/compaction path.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import normalized_text
+
+    keyed = docs_stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.xxhash64(normalized_text(F.col(text_col))).alias("text_key"))
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            # drain the iterator (contract) and emit nothing: dup of a
+            # text seen in an earlier micro-batch
+            for _ in pdfs:
+                pass
+            yield pd.DataFrame({"doc_id": [], "text_key": []})
+            return
+        first_id = None
+        for p in pdfs:
+            if len(p):
+                m = int(p["doc_id"].min())
+                first_id = m if first_id is None else min(first_id, m)
+        state.update((True,))
+        if first_id is None:
+            yield pd.DataFrame({"doc_id": [], "text_key": []})
+        else:
+            yield pd.DataFrame({"doc_id": [first_id], "text_key": [key[0]]})
+
+    return keyed.groupBy("text_key").applyInPandasWithState(
+        update, DEDUP_OUTPUT, DEDUP_STATE, "append",
+        GroupStateTimeout.NoTimeout)

@@ -149,3 +149,41 @@ class TestSocketIngest:
             q.stop()
             stop.set()
             srv.close()
+
+
+class TestStreamingDedup:
+    def test_cross_batch_suppression(self, spark, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from logparse_rs_spark.streaming.stateful import streaming_exact_dedup
+
+        src = tmp_path / "docs_stream"
+        src.mkdir()
+        # batch 1: docs 0-2 (2 is a dup of 0 modulo whitespace/case)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["Hello  World", "unique one", "hello world"]),
+        }), str(src / "b1.parquet"))
+        # batch 2: doc 3 dups batch-1's text, doc 4 is new
+        pq.write_table(pa.table({
+            "doc_id": pa.array([3, 4], pa.int64()),
+            "text": pa.array(["HELLO WORLD", "another new doc"]),
+        }), str(src / "b2.parquet"))
+
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src)))
+        out = streaming_exact_dedup(stream)
+        q = (out.writeStream.outputMode("append")
+             .format("memory").queryName("dedup_stream")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        rows = spark.sql("SELECT * FROM dedup_stream").collect()
+        survivors = sorted(r["doc_id"] for r in rows)
+        # one survivor per distinct normalized text; min id wins in-batch;
+        # later-batch dups suppressed ([1,3,4] iff the file source ever
+        # ordered b2 first — the invariant is one survivor per text)
+        assert survivors in ([0, 1, 4], [1, 3, 4])
+        assert len(survivors) == 3
