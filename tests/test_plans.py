@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the plan properties the 100 TB design
+depends on, pinned so refactors can't silently regress them.
+
+Each assertion reads the executed/spark plan string — the same evidence a
+human gets from .explain("formatted").
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as e
+    return e
+
+
+class TestParsePlans:
+    def test_single_python_crossing(self, spark, entrymod):
+        """All three parse UDFs (line/hash/qfields) fold into ONE
+        ArrowEvalPython stage; a second stage would double the Python
+        crossing cost on 10^12 rows."""
+        df = entrymod.queries()["log_route_counts"](spark, SF)
+        assert plan_of(df).count("ArrowEvalPython") == 1
+
+    def test_hash_udf_pruned_when_unused(self, spark):
+        """A query that never reads hash64 must not pay for the hash UDF."""
+        from logparse_rs_spark.operators.parse import parse_pages
+        from logparse_rs_spark.schema import load_schema
+        schema = load_schema(os.path.join(ROOT, "schemas", "schema.json"))
+        pages = spark.createDataFrame(
+            [("u", "a,b,c,SYSTEM,x", "en")], "url string, text string, lang string")
+        df = parse_pages(pages, schema).groupBy("log_type").count()
+        assert "_hash64_of" not in plan_of(df)
+
+
+class TestJoinPlans:
+    def test_small_dims_broadcast(self, spark, entrymod):
+        plan = plan_of(entrymod.queries()["tpch_q3ish"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_topk_uses_take_ordered(self, spark, entrymod):
+        """top-k must plan as TakeOrderedAndProject (partial top-k per
+        partition), never a global sort."""
+        plan = plan_of(entrymod.queries()["events_top_users"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestShufflePlans:
+    def test_exact_dedup_single_exchange(self, spark, entrymod):
+        """Dedup shuffles once, on the 8-byte hash key — never the text."""
+        plan = plan_of(entrymod.queries()["doc_exact_dedup"](spark, SF))
+        assert plan.count("Exchange") == 1
+
+    def test_scan_prunes_columns(self, spark, entrymod):
+        """events aggregation reads only the 3 columns it needs."""
+        df = entrymod.queries()["events_value_quantiles"](spark, SF)
+        scan = [l for l in plan_of(df).splitlines() if "FileScan" in l]
+        assert scan and "user_id" not in scan[0]
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        df = li.filter(F.col("l_quantity") > 30).select("l_orderkey")
+        assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" \
+            in plan_of(df).replace("30.0", "30")
