@@ -241,6 +241,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from logparse_rs_spark.operators.dedup import minhash_near_dup
         return minhash_near_dup(_docs(spark, sf_dir), max_bucket=1000)
 
+    def doc_text_neardup_verified(spark, sf_dir):
+        # the canonical two-stage TEXT near-dup: capped minhash-LSH band
+        # candidates -> exact char-3-gram Jaccard verify >= 0.5 (the text
+        # counterpart of emb_neardup_pairs' candidates->verify composition)
+        from logparse_rs_spark.operators.dedup import (minhash_near_dup,
+                                                       ngram_jaccard)
+        docs = _docs(spark, sf_dir)
+        pairs = minhash_near_dup(docs, max_bucket=1000)
+        return (ngram_jaccard(docs, pairs, n=3)
+                .filter(F.col("jaccard") >= 0.5)
+                .withColumn("jaccard", F.round("jaccard", 6)))
+
     def doc_fingerprint_fnv(spark, sf_dir):
         from logparse_rs_spark.operators.text import fingerprint
         return fingerprint(_docs(spark, sf_dir), exact_fnv=True)
@@ -376,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_pairs": doc_minhash_pairs,
         "doc_near_dup_dedup": doc_near_dup_dedup,
         "doc_curation_stats": doc_curation_stats,
+        "doc_text_neardup_verified": doc_text_neardup_verified,
         "doc_simhash_candidates": doc_simhash_candidates,
         "doc_fingerprint_fnv": doc_fingerprint_fnv,
         "emb_bruteforce_topk": emb_bruteforce_topk,
@@ -729,6 +742,30 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
     }
+    # composed text near-dup oracle: minhash banding CTE + exact 3-gram
+    # jaccard verify, both already proven by their standalone oracles
+    d["doc_text_neardup_verified"] = f"""
+        WITH cand AS ({d["doc_minhash_pairs"]}),
+        n AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN length(t) >= 3 THEN
+                       list_distinct(list_transform(
+                         range(1, length(t) - 1),
+                         i -> substr(t, i::int, 3)))
+                     ELSE [] END AS grams
+              FROM n),
+        j AS (SELECT c.id_a, c.id_b,
+                     len(list_intersect(a.grams, b.grams))
+                     / len(list_distinct(list_concat(a.grams, b.grams)))
+                       AS jac
+              FROM cand c
+              JOIN g a ON a.doc_id = c.id_a
+              JOIN g b ON b.doc_id = c.id_b)
+        SELECT id_a, id_b, round(jac, 6) AS jaccard
+        FROM j WHERE jac >= 0.5
+    """
     # composed curation oracle: reuse the quality / lang / token SQL bodies
     # as CTEs so the composition can never drift from the per-op oracles
     d["doc_curation_stats"] = f'''
