@@ -182,9 +182,13 @@ def main() -> None:
         n = len(walls)
         med = (walls[n // 2] if n % 2 else
                (walls[n // 2 - 1] + walls[n // 2]) / 2)
-        p90 = walls[min(n - 1, max(0, int(round(0.9 * (n - 1)))))]
+
+        def pct(q):
+            return walls[min(n - 1, max(0, int(round(q * (n - 1)))))]
+
         return {"n": n, "mean_s": round(sum(walls) / n, 3),
-                "median_s": round(med, 3), "p90_s": round(p90, 3),
+                "median_s": round(med, 3), "p90_s": round(pct(0.9), 3),
+                "p99_s": round(pct(0.99), 3),
                 "min_s": walls[0], "max_s": walls[-1]}
 
     headline_cores = min(HEADLINE_CORES, cores)
