@@ -73,3 +73,15 @@ class TestShufflePlans:
         df = li.filter(F.col("l_quantity") > 30).select("l_orderkey")
         assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" \
             in plan_of(df).replace("30.0", "30")
+
+
+class TestParsedCache:
+    def test_cached_parse_identical_results(self, spark, entrymod):
+        """_parsed memoizes per (session, fixture); the cached frame must be
+        the same plan (one persist) and produce identical aggregates."""
+        a = entrymod.queries()["log_status_counts"](spark, SF)
+        b = entrymod.queries()["log_status_counts"](spark, SF)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        from __spark_entry__ import _PARSED_CACHE
+        assert any(spark.sparkContext.applicationId == k[0]
+                   for k in _PARSED_CACHE)
