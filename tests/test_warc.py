@@ -1,0 +1,70 @@
+"""WARC source: record framing, HTTP unwrap, text extraction, and the
+end-to-end WARC -> pages -> parse pipeline hop."""
+
+import pytest
+
+from logparse_rs_spark.sources.warc import (extract_text, iter_warc_records,
+                                            read_warc_pages, write_warc)
+
+
+@pytest.fixture()
+def warc_file(tmp_path):
+    p = tmp_path / "pages.warc"
+    html1 = (b"<html><head><script>var x=1;</script>"
+             b"<style>p{}</style></head>"
+             b"<body><p>Hello &amp; welcome</p>\n<div>to the  page</div>"
+             b"</body></html>")
+    html2 = b"<html><body>1,2021/01/01 00:00:00,01606001116,SYSTEM,x</body></html>"
+    write_warc(str(p), [
+        ("https://a.example/x", "2021-06-01T12:00:00Z", html1),
+        ("https://b.example/y", "2021-06-02T00:30:15Z", html2),
+    ])
+    return str(p)
+
+
+class TestFraming:
+    def test_iter_records_exact_lengths(self, warc_file):
+        data = open(warc_file, "rb").read()
+        recs = list(iter_warc_records(data))
+        assert len(recs) == 2
+        for headers, payload in recs:
+            assert headers["warc-type"] == "response"
+            assert len(payload) == int(headers["content-length"])
+
+    def test_binary_payload_with_crlf_inside(self, tmp_path):
+        # Content-Length framing must survive CRLFCRLF bytes INSIDE a body
+        p = tmp_path / "t.warc"
+        tricky = b"abc\r\n\r\ndef"
+        write_warc(str(p), [("u:1", "2021-01-01T00:00:00Z", tricky)])
+        (headers, payload), = iter_warc_records(open(p, "rb").read())
+        assert payload.endswith(tricky)
+
+
+class TestTextExtraction:
+    def test_strip_tags_scripts_entities(self):
+        html = (b"<html><script>no()</script><b>A &lt;tag&gt; &amp; more"
+                b"</b>  <i>words</i></html>")
+        assert extract_text(html) == "A <tag> & more words"
+
+
+class TestReadWarcPages:
+    def test_pages_schema_and_values(self, spark, warc_file):
+        df = read_warc_pages(spark, warc_file)
+        rows = {r["url"]: r for r in df.collect()}
+        assert set(rows) == {"https://a.example/x", "https://b.example/y"}
+        a = rows["https://a.example/x"]
+        assert a["text"] == "Hello & welcome to the page"
+        assert bytes(a["html"]).startswith(b"<html>")
+        assert str(a["warc_ts"]).startswith("2021-06-01 12:00:00")
+
+    def test_warc_feeds_parse_pipeline(self, spark, warc_file):
+        import os
+        from logparse_rs_spark.operators.parse import parse_pages
+        from logparse_rs_spark.schema import load_schema
+        ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+        schema = load_schema(os.path.join(ROOT, "schemas", "schema.json"))
+        pages = read_warc_pages(spark, warc_file)
+        parsed = parse_pages(pages, schema)
+        ok = parsed.filter("status = 'ok'").select("url", "log_type").collect()
+        assert [(r["url"], r["log_type"]) for r in ok] == \
+            [("https://b.example/y", "SYSTEM")]
