@@ -110,11 +110,18 @@ def read_warc_pages(spark: SparkSession, path: str,
         .select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
         for pdf in batches:
             rows = {"url": [], "warc_ts": [], "html": [], "text": [],
                     "lang": []}
             for content in pdf["content"]:
-                for headers, payload in iter_warc_records(bytes(content)):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    # Common-Crawl ships multi-member gzip; gzip.decompress
+                    # concatenates members
+                    data = gzip.decompress(data)
+                for headers, payload in iter_warc_records(data):
                     if headers.get("warc-type") not in ("response",
                                                         "resource"):
                         continue

@@ -68,3 +68,19 @@ class TestReadWarcPages:
         ok = parsed.filter("status = 'ok'").select("url", "log_type").collect()
         assert [(r["url"], r["log_type"]) for r in ok] == \
             [("https://b.example/y", "SYSTEM")]
+
+
+class TestGzippedWarc:
+    def test_multi_member_gzip(self, spark, tmp_path):
+        import gzip
+        raw1, raw2 = tmp_path / "a.warc", tmp_path / "b.warc"
+        write_warc(str(raw1), [("u:1", "2021-01-01T00:00:00Z", b"<p>one</p>")])
+        write_warc(str(raw2), [("u:2", "2021-01-02T00:00:00Z", b"<p>two</p>")])
+        gz = tmp_path / "pages.warc.gz"
+        # two independent gzip MEMBERS concatenated (the Common-Crawl shape)
+        with open(gz, "wb") as f:
+            f.write(gzip.compress(open(raw1, "rb").read()))
+            f.write(gzip.compress(open(raw2, "rb").read()))
+        df = read_warc_pages(spark, str(gz))
+        got = {r["url"]: r["text"] for r in df.collect()}
+        assert got == {"u:1": "one", "u:2": "two"}
