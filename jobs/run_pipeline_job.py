@@ -28,7 +28,11 @@ if _REPO_ROOT not in sys.path:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True, help="pages table path (parquet)")
+    ap.add_argument("--pages", required=True,
+                    help="pages table path (parquet or WARC)")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "warc"],
+                    help="pages input format (warc = Common-Crawl files)")
     ap.add_argument("--out", required=True, help="output root for all sinks")
     ap.add_argument("--schema", required=True)
     ap.add_argument("--anon", default=None)
@@ -59,7 +63,11 @@ def main() -> int:
         sinks=default_sinks(schema, narrow=args.narrow_sinks),
         n_buckets=args.buckets,
     )
-    pages = spark.read.parquet(args.pages)
+    if args.format == "warc":
+        from logparse_rs_spark.sources.warc import read_warc_pages
+        pages = read_warc_pages(spark, args.pages)
+    else:
+        pages = spark.read.parquet(args.pages)
     result = run_pipeline(spark, pages, cfg, resume=not args.no_resume,
                           max_buckets=args.max_buckets)
     print(json.dumps({

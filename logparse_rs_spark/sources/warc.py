@@ -36,8 +36,10 @@ PAGES_SCHEMA = T.StructType([
 
 _CRLF = b"\r\n"
 _SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_BLOCK_RE = re.compile(
+    r"(?i)<(?:br\s*/?|/(?:p|div|tr|li|h[1-6]|table|ul|ol|pre|blockquote))\s*>")
 _TAG_RE = re.compile(r"(?s)<[^>]*>")
-_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+_HWS_RE = re.compile(r"[ \t\f\v]+")
 _ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
              ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]
 
@@ -82,13 +84,18 @@ def _http_body(payload: bytes) -> bytes:
 
 
 def extract_text(html: bytes) -> str:
-    """Deterministic tag-strip text extraction (see module docstring)."""
+    """Deterministic tag-strip text extraction, LINE-PRESERVING: block-level
+    boundaries (<br>, </p>, </div>, ...) and raw newlines become line breaks
+    so the downstream line-oriented parse sees one record per source line;
+    horizontal whitespace collapses within a line; empty lines drop."""
     s = html.decode("utf-8", "replace")
     s = _SCRIPT_RE.sub(" ", s)
+    s = _BLOCK_RE.sub("\n", s)
     s = _TAG_RE.sub(" ", s)
     for ent, ch in _ENTITIES:
         s = s.replace(ent, ch)
-    return _WS_RE.sub(" ", s).strip()
+    lines = (_HWS_RE.sub(" ", ln).strip() for ln in re.split(r"[\r\n]+", s))
+    return "\n".join(ln for ln in lines if ln)
 
 
 def _parse_ts(v: Optional[str]):

@@ -46,6 +46,11 @@ class TestTextExtraction:
                 b"</b>  <i>words</i></html>")
         assert extract_text(html) == "A <tag> & more words"
 
+    def test_blocks_and_newlines_become_lines(self):
+        html = (b"<html><body>line one<br>line  two</p>\n"
+                b"<div>line three</div></body></html>")
+        assert extract_text(html) == "line one\nline two\nline three"
+
 
 class TestReadWarcPages:
     def test_pages_schema_and_values(self, spark, warc_file):
@@ -53,7 +58,7 @@ class TestReadWarcPages:
         rows = {r["url"]: r for r in df.collect()}
         assert set(rows) == {"https://a.example/x", "https://b.example/y"}
         a = rows["https://a.example/x"]
-        assert a["text"] == "Hello & welcome to the page"
+        assert a["text"] == "Hello & welcome\nto the page"
         assert bytes(a["html"]).startswith(b"<html>")
         assert str(a["warc_ts"]).startswith("2021-06-01 12:00:00")
 
@@ -84,3 +89,41 @@ class TestGzippedWarc:
         df = read_warc_pages(spark, str(gz))
         got = {r["url"]: r["text"] for r in df.collect()}
         assert got == {"u:1": "one", "u:2": "two"}
+
+
+class TestWarcPipeline:
+    def test_full_pipeline_from_warc(self, spark, tmp_path):
+        """North-rule shape from the web-native format: WARC pages ->
+        parse -> anonymize -> route -> aggregate, counts intact."""
+        import os
+        from logparse_rs_spark.plans.pipeline import (PipelineConfig,
+                                                      default_sinks,
+                                                      run_pipeline)
+        from logparse_rs_spark.schema import load_schema
+        ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+        line_t = ("1,2021/01/01 00:00:00,01606001116,TRAFFIC,start,1,"
+                  "2021/01/01 00:00:00,10.0.0.%d,10.0.1.%d,0.0.0.0,0.0.0.0,"
+                  "r1,u1,,web-browsing,vsys1")
+        line_s = "x,y,z,SYSTEM,sub,evt"
+        recs = []
+        for i in range(12):
+            body = "<html><body>{}\n{}</body></html>".format(
+                line_t % (i, i), line_s).encode()
+            recs.append((f"https://w.example/p{i}",
+                         "2021-06-01T00:00:00Z", body))
+        warc = tmp_path / "in.warc"
+        write_warc(str(warc), recs)
+
+        pages = read_warc_pages(spark, str(warc))
+        schema = load_schema(os.path.join(ROOT, "schemas", "schema.json"))
+        cfg = PipelineConfig(
+            schema_path=os.path.join(ROOT, "schemas", "schema.json"),
+            anonymizer_path=os.path.join(ROOT, "configs",
+                                         "anonymizer.sample.json"),
+            out_root=str(tmp_path / "out"),
+            sinks=default_sinks(schema),
+            n_buckets=4)
+        res = run_pipeline(spark, pages, cfg, resume=False)
+        assert res.docs_in == 12
+        assert res.per_sink_rows.get("sink_traffic") == 12
+        assert res.per_sink_rows.get("sink_other/log_type=SYSTEM") == 12
