@@ -7,8 +7,6 @@ ArrowEvalPython stage, so e.g. six tokenized columns cost one Python crossing.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T

@@ -14,7 +14,7 @@ so downstream shuffles never move the raw bytes again.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 import pandas as pd

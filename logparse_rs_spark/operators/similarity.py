@@ -14,7 +14,7 @@ shape. Both return (query_id, vec_id, cos_sim, rank).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import pandas as pd

@@ -17,7 +17,7 @@ aggregating BY domain when two domains own 40% of rows):
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence
+from typing import Dict, List, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

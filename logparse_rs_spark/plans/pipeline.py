@@ -24,7 +24,6 @@ Scale notes (the design constraints this file encodes):
 
 from __future__ import annotations
 
-import json
 import os
 import time
 import uuid

@@ -11,8 +11,6 @@ sys.path.insert(0, ROOT)
 
 cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from logparse_rs_spark.anonymizer import load_anonymizer  # noqa: E402
 from logparse_rs_spark.operators.parse import explode_lines, parse_lines  # noqa: E402
 from logparse_rs_spark.plans.pipeline import (build_map_payload,  # noqa: E402
