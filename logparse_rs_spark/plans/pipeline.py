@@ -181,7 +181,6 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
     # explicit repartition on the bucket key: lines of one url always land
     # together, so per-bucket sink partitions are written by few tasks and
     # the (url, line_ordinal) identity never crosses partitions
-    pages_pending = bucketed   # pre-repartition view for doc-level stats
     bucketed = bucketed.repartition(n_parts, "bucket")
 
     exploded = explode_lines(bucketed, keep_cols=("lang", "bucket"))
@@ -234,27 +233,26 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
                               time.perf_counter() - t0, 0, 0, timings)
 
     # ---- bookkeeping aggregations (M2 metrics + ledger inputs + routed
-    # counts) run as TWO light jobs in the same concurrent pool as the sink
+    # counts) run as ONE light job in the same concurrent pool as the sink
     # writes; everything else (status counts, per-partition metrics rows,
-    # ledger rows) derives driver-side from their small results — no
-    # dedicated Spark job per bookkeeping table.
-    fine_stats: List = []   # (part_id, bucket, status, log_type, n, bytes)
-    url_stats: List = []    # (bucket, docs)
+    # ledger rows, docs-per-bucket) derives driver-side from its small
+    # result — no dedicated Spark job per bookkeeping table. Docs are
+    # counted as line_ordinal==0 rows of the STAGED parse (every non-null
+    # text yields at least the ordinal-0 line, even empty text), so the
+    # count never re-evaluates the raw source plan — for a WARC source that
+    # re-run would repeat the whole gzip+extract pass, and a source that
+    # changed between the two scans would break ledger consistency. A page
+    # with NULL text explodes to zero lines and is not counted as a doc.
+    fine_stats: List = []   # (part_id, bucket, status, log_type, n, bytes, docs)
 
     def collect_fine_stats() -> None:
         fine_stats.extend(
             parsed.groupBy("part_id", "bucket", "status", "log_type")
             .agg(F.count("*").alias("n"),
-                 F.sum(F.length("line")).alias("bytes_in"))
+                 F.sum(F.length("line")).alias("bytes_in"),
+                 F.sum((F.col("line_ordinal") == 0).cast("long"))
+                 .alias("docs"))
             .collect())
-
-    def collect_url_stats() -> None:
-        # docs-per-bucket from the PAGES table (one row per doc, url unique
-        # by contract) — a pruned scan of just the url column, instead of a
-        # countDistinct shuffle over every exploded line
-        url_stats.extend(
-            pages_pending.groupBy("bucket")
-            .agg(F.count("*").alias("docs")).collect())
 
     # ---- fan-out sinks (M1) + metrics + rejects + audit, as CONCURRENT
     # Spark jobs over the one cached parse (driver threads only queue jobs;
@@ -314,25 +312,29 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
     map_sinks = [s for s in cfg.sinks if s.payload == "map"]
     if map_sinks and len({s.table for s in map_sinks}) != 1:
         raise ValueError("all map-payload sinks must share one table")
-    jobs = [(s.table, lambda s=s: write_sink(s)) for s in columnar_sinks]
+    # HEAVIEST-FIRST job order (classic LPT scheduling): the map-payload
+    # union sink and the full-width columnar sinks dominate the phase's
+    # critical path, so they enter the pool first and the small bookkeeping
+    # jobs (fine_stats, audit) backfill the tail instead of extending it.
+    jobs = []
     if map_sinks:
         jobs.append((map_sinks[0].table, lambda: write_map_sinks(map_sinks)))
-    jobs.append(("fine_stats", collect_fine_stats))
-    jobs.append(("url_stats", collect_url_stats))
+    jobs += [(s.table, lambda s=s: write_sink(s)) for s in columnar_sinks]
     if cfg.write_rejects:
         jobs.append(("rejects", write_rejects))
+    jobs.append(("fine_stats", collect_fine_stats))
     if audit_dims_active:
         jobs.append(("audit", write_audit))
     t_sinks = time.perf_counter()
-    # concurrent fan-out jobs: enough to hide per-job commit latency, capped
+    # concurrent fan-out jobs: enough to hide per-job commit latency, FIXED
     # at 4 — r1 scaled this with defaultParallelism and the commit phase
     # anti-scaled (more cores -> more simultaneous partitionBy commits
     # contending on the store). Task-level parallelism inside each job
     # already uses every core; job-level concurrency only needs to cover
-    # scheduling + commit gaps.
-    default_width = max(2, min(4, int(spark.sparkContext.defaultParallelism)))
-    pool_width = int(os.environ.get("LOGPARSE_SINK_CONCURRENCY",
-                                    str(default_width)))
+    # scheduling + commit gaps. Fixed (not core-derived) so an N-core and a
+    # 4N-core run execute the IDENTICAL job schedule — the cluster-size
+    # scaling comparison then varies exactly one thing.
+    pool_width = int(os.environ.get("LOGPARSE_SINK_CONCURRENCY", "4"))
     def timed(label: str, job):
         def run():
             t = time.perf_counter()
@@ -367,10 +369,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
             "bucket": r["bucket"], "rows_in": 0, "rows_ok": 0, "docs": 0,
             "status": "done", "run_id": run_id})
         b["rows_in"] += r["n"]
+        b["docs"] += r["docs"] or 0
         if r["status"] == STATUS_OK:
             b["rows_ok"] += r["n"]
-    for r in url_stats:
-        bucket_rows[r["bucket"]]["docs"] = r["docs"]
     lines_in = sum(status_counts.values())
 
     for sink in cfg.sinks:
