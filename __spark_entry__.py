@@ -166,6 +166,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _emb(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    _dim_cache: dict = {}
+
+    def _emb_dim(sf_dir) -> int:
+        # vector dimensionality from the parquet FOOTER + first batch via
+        # pyarrow — no per-query Spark job (the r2 form ran .first() on
+        # every call, a visible warm-up job in the Spark UI)
+        path = f"{sf_dir}/embeddings.parquet"
+        d = _dim_cache.get(path)
+        if d is None:
+            import pyarrow.parquet as pq
+            batch = next(pq.ParquetFile(path).iter_batches(
+                batch_size=1, columns=["embedding"]))
+            d = len(batch.column(0)[0])
+            _dim_cache[path] = d
+        return d
+
     def doc_exact_dedup(spark, sf_dir):
         from logparse_rs_spark.operators.dedup import exact_dedup
         return exact_dedup(_docs(spark, sf_dir)).select("doc_id", "dup_count")
@@ -200,9 +216,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_pairs(sigs, bands=16)
 
     def doc_simhash_candidates(spark, sf_dir):
+        # max_bucket=1000 is the demonstrated (scale-safe) form: a chunk
+        # table has only 65,536 buckets, so uncapped the self-join is
+        # n^2/65,536 at corpus scale. The fixture build asserts no sf0.01
+        # chunk bucket exceeds the cap (dataops_fixtures._assert_oracle_caps)
+        # so the uncapped DuckDB oracle sees the identical pair set.
         from logparse_rs_spark.operators.dedup import (
             simhash, simhash_candidates)
-        return simhash_candidates(simhash(_docs(spark, sf_dir)))
+        return simhash_candidates(simhash(_docs(spark, sf_dir)),
+                                  max_bucket=1000)
 
     def doc_curation_stats(spark, sf_dir):
         # the end-to-end training-data curation shape: quality filter ->
@@ -245,15 +267,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the canonical two-stage TEXT near-dup: capped minhash-LSH band
         # candidates -> exact char-3-gram Jaccard verify >= 0.5 (the text
         # counterpart of emb_neardup_pairs' candidates->verify composition).
-        # Cost profile at sf0.1: ~128k candidate pairs over 5k docs (the
-        # testdata is near-dup-heavy by construction), ~16s of exact verify
-        # at 8 cores — inherent set-math work on the candidates only;
-        # hashing grams to int64 first was measured SLOWER (21s vs 16s)
-        from logparse_rs_spark.operators.dedup import (minhash_near_dup,
-                                                       ngram_jaccard)
+        # The verify stage ships normalized TEXT per pair and memoizes
+        # uint64 gram sets per Arrow batch (ngram_jaccard_pairs_fast) —
+        # the r2 form joined full gram ARRAYS per pair and cost 30.5 s of
+        # the 57 s query suite at sf0.1
+        from logparse_rs_spark.operators.dedup import (
+            minhash_near_dup, ngram_jaccard_pairs_fast)
         docs = _docs(spark, sf_dir)
         pairs = minhash_near_dup(docs, max_bucket=1000)
-        return (ngram_jaccard(docs, pairs, n=3)
+        return (ngram_jaccard_pairs_fast(docs, pairs, n=3)
                 .filter(F.col("jaccard") >= 0.5)
                 .withColumn("jaccard", F.round("jaccard", 6)))
 
@@ -272,10 +294,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def emb_lsh_topk(spark, sf_dir):
         from logparse_rs_spark.operators.similarity import lsh_topk
         emb = _emb(spark, sf_dir)
-        dim = len(emb.select("embedding").first()["embedding"])
         queries_df = (emb.filter("vec_id < 3")
                       .select(F.col("vec_id").alias("query_id"), "embedding"))
-        return lsh_topk(emb, queries_df, dim=dim, k=5, n_planes=32, bands=8)
+        return lsh_topk(emb, queries_df, dim=_emb_dim(sf_dir), k=5,
+                        n_planes=32, bands=8)
 
     # ---- general OLAP operators over the TPC-H-ish tables -------------------
 
@@ -326,8 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bucketed plan returns the exact >=threshold answer on this data
         from logparse_rs_spark.operators.similarity import neardup_pairs
         emb = _emb(spark, sf_dir)
-        dim = len(emb.select("embedding").first()["embedding"])
-        return neardup_pairs(emb, dim=dim, threshold=0.35, bands=16)
+        return neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.35,
+                             bands=16)
 
     def events_value_quantiles(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")

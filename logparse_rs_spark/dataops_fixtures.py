@@ -86,6 +86,7 @@ def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
 
     sigs = minhash_sig_batch(texts, MINHASH_NUM_PERM, MINHASH_SHINGLE_K)
     sims = simhash_batch(texts, SIMHASH_SHINGLE_K)
+    _assert_oracle_caps(sigs, sims)
     norm = texts.map(normalized_text_py)
     fnv = fnv1a_series(norm).view("int64")
 
@@ -144,6 +145,38 @@ def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
         "ivf_cell": pa.array(probes.reshape(-1).tolist(), pa.int32()),
     }), paths["emb_probes"])
     return paths
+
+
+# must match the max_bucket arguments in __spark_entry__'s
+# doc_simhash_candidates / doc_near_dup_dedup / doc_text_neardup_verified
+ENTRY_MAX_BUCKET = 1000
+
+
+def _assert_oracle_caps(sigs, sims) -> None:
+    """The entry queries run the CAPPED (scale-safe) operator forms while the
+    DuckDB oracles band uncapped; they agree iff no oracle-scale bucket
+    exceeds the cap. Assert that at fixture-build time so a future testdata
+    change can't silently turn a cap-drop into an oracle mismatch."""
+    from collections import Counter
+
+    svals = np.asarray(sims, dtype=np.int64).view(np.uint64)
+    for i in range(4):
+        chunk = (svals >> np.uint64(i * 16)) & np.uint64(0xFFFF)
+        top = int(np.unique(chunk, return_counts=True)[1].max())
+        if top > ENTRY_MAX_BUCKET:
+            raise RuntimeError(
+                f"simhash chunk {i}: largest bucket {top} exceeds the entry "
+                f"cap {ENTRY_MAX_BUCKET}; capped Spark query and uncapped "
+                f"oracle would diverge")
+    sig_mat = np.stack(sigs)
+    rows_per_band = MINHASH_NUM_PERM // 16
+    for band in range(16):
+        sl = sig_mat[:, band * rows_per_band:(band + 1) * rows_per_band]
+        top = max(Counter(r.tobytes() for r in sl).values())
+        if top > ENTRY_MAX_BUCKET:
+            raise RuntimeError(
+                f"minhash band {band}: largest bucket {top} exceeds the "
+                f"entry cap {ENTRY_MAX_BUCKET}")
 
 
 def _atomic_write(tbl: pa.Table, path: str) -> None:

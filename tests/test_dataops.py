@@ -314,3 +314,74 @@ class TestDuplicateHeavy:
         # the 40-clone cluster is dropped; the two near rows still pair up
         assert {(r["id_a"], r["id_b"]) for r in capped} == {(1000, 1001)}
         assert capped[0]["hamming"] == 1
+
+
+class TestFastJaccardVerify:
+    """ngram_jaccard_pairs_fast must be value-identical to the JVM array
+    form (injective 21-bit gram packing for n=3, null/empty/unicode edges)."""
+
+    EDGE_ROWS = [(1, "Hello  World, this is a test"),
+                 (2, "hello world, this is a test"),
+                 (3, "ab"), (4, ""),
+                 (5, "ümlaut ünïcode tëxt \U0001F600\U0001F600 test"),
+                 (6, "ümlaut ünïcode tëxt \U0001F600\U0001F600 test!"),
+                 (7, None), (8, "xy")]
+
+    def _all_pairs(self, spark, n):
+        return spark.createDataFrame(
+            [(a, b) for a in range(1, n + 1) for b in range(a + 1, n + 1)],
+            "id_a long, id_b long")
+
+    def test_matches_array_form_on_edges(self, spark):
+        from logparse_rs_spark.operators.dedup import (
+            ngram_jaccard, ngram_jaccard_pairs_fast)
+        d = spark.createDataFrame(self.EDGE_ROWS, "doc_id long, text string")
+        p = self._all_pairs(spark, 8)
+        old = ngram_jaccard(d, p, n=3).withColumn(
+            "jaccard", F.round("jaccard", 9))
+        new = ngram_jaccard_pairs_fast(d, p, n=3).withColumn(
+            "jaccard", F.round("jaccard", 9))
+        assert old.count() == new.count() == 28
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+
+    def test_matches_array_form_on_corpus(self, spark, docs):
+        from logparse_rs_spark.operators.dedup import (
+            minhash_near_dup, ngram_jaccard, ngram_jaccard_pairs_fast)
+        pairs = minhash_near_dup(docs, max_bucket=1000)
+        old = ngram_jaccard(docs, pairs, n=3).withColumn(
+            "jaccard", F.round("jaccard", 9))
+        new = ngram_jaccard_pairs_fast(docs, pairs, n=3).withColumn(
+            "jaccard", F.round("jaccard", 9))
+        assert old.count() == new.count() > 0
+        assert old.exceptAll(new).count() == 0
+
+    def test_gram_hash_injective_matches_strings(self):
+        from logparse_rs_spark.operators.dedup import _gram_hash_np
+        t = "abcabc ééx \U0001F600ab"
+        want = {t[i:i + 3] for i in range(len(t) - 2)}
+        got = _gram_hash_np(t, 3)
+        assert len(got) == len(want)
+        assert _gram_hash_np("ab", 3).size == 0
+
+
+class TestBandingValidation:
+    """ADVICE r2: caller-passed num_perm must be validated, both statically
+    (divisibility) and against the actual signature length at runtime."""
+
+    def test_bands_must_divide_num_perm(self, spark):
+        from logparse_rs_spark.operators.dedup import minhash_lsh_pairs
+        sigs = spark.createDataFrame([(1, list(range(64)))],
+                                     "doc_id long, sig array<long>")
+        with pytest.raises(ValueError, match="divisible"):
+            minhash_lsh_pairs(sigs, bands=10, num_perm=64)
+
+    def test_sig_length_mismatch_fails_loudly(self, spark):
+        from logparse_rs_spark.operators.dedup import minhash_lsh_pairs
+        # signatures built with num_perm=32, banded as if 64: the r2 form
+        # silently produced empty-slice buckets that collide for every doc
+        sigs = spark.createDataFrame(
+            [(i, list(range(32))) for i in range(4)],
+            "doc_id long, sig array<long>")
+        with pytest.raises(Exception, match="does not match num_perm"):
+            minhash_lsh_pairs(sigs, bands=16, num_perm=64).collect()
