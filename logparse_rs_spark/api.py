@@ -81,6 +81,24 @@ def _ensure_schema(schema_path: Optional[str] = None) -> CompiledSchema:
     return _SCHEMA
 
 
+def load_embedded_schema() -> bool:
+    """Facade parity with the reference's compile-time embedded schema
+    (rust_accel.py:72-78: the Rust build can bake a schema in with
+    --features embed_schema). A pure-Python build has no compile-time
+    embedding; the nearest analog is the LOGPARSE_PRELOAD_SCHEMA /
+    SCHEMA_JSON_PATH env path, which we honor as the 'embedded' source.
+    Raises RuntimeError when neither is set — the same contract as the
+    reference built WITHOUT the feature."""
+    path = os.getenv("LOGPARSE_PRELOAD_SCHEMA") or os.getenv(
+        "SCHEMA_JSON_PATH")
+    if not path:
+        raise RuntimeError(
+            "Embedded schema not supported in the pure-Python build; set "
+            "LOGPARSE_PRELOAD_SCHEMA (or SCHEMA_JSON_PATH) or call "
+            "load_schema()")
+    return load_schema(path)
+
+
 def get_schema_status() -> Dict[str, object]:
     loaded = _SCHEMA is not None
     mtime_ms = None

@@ -22,9 +22,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# "pillow" / "soundfile" when available; the deterministic fake keeps the
-# pipeline testable in this container.
-DECODE_BACKEND = "deterministic-fake"
+try:  # self-upgrading codec backend: real decode the moment PIL exists
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # this container has no image libraries
+    _PIL_Image = None
+
+# "pillow" when available; the deterministic fake keeps the pipeline
+# testable in this container.
+DECODE_BACKEND = "pillow" if _PIL_Image is not None else "deterministic-fake"
 
 MEDIA_META_SCHEMA = T.StructType([
     T.StructField("media_type", T.StringType()),     # image|audio|video
@@ -70,42 +75,59 @@ def media_metadata(df: DataFrame, binary_col: str = "html",
 
 def _fake_decode(blob: bytes, h: int, w: int) -> np.ndarray:
     """Deterministic stand-in for a real image decode: bytes -> (h, w) float
-    grid derived from a seeded rng keyed on the content digest. Replace with
-    PIL.Image.open when the codec backend exists."""
+    grid derived from a seeded rng keyed on the content digest."""
     seed = int.from_bytes(hashlib.sha256(blob or b"").digest()[:8], "little")
     rng = np.random.default_rng(seed)
     return rng.random((h, w), dtype=np.float64)
 
 
+def _pil_decode(blob: bytes, h: int, w: int) -> np.ndarray:
+    """Real decode when pillow is present: open -> grayscale -> resize ->
+    [0, 1] float grid. Same output shape/contract as _fake_decode."""
+    import io
+
+    img = _PIL_Image.open(io.BytesIO(blob)).convert("L").resize((w, h))
+    return np.asarray(img, dtype=np.float64) / 255.0
+
+
 def decode_and_featurize(df: DataFrame, binary_col: str = "html",
                          resize_to: int = 8,
-                         strict: bool = False) -> DataFrame:
+                         strict: bool = False,
+                         backend: str = "auto") -> DataFrame:
     """image decode -> resize(resize_to x resize_to) -> flatten features.
 
-    strict=True raises NotImplementedError (no codec library in this
-    container); strict=False uses the deterministic fake so the Spark
-    plumbing — schema array<double> of fixed len, batch iteration, null
-    handling — is fully exercised."""
+    backend: "auto" uses pillow when importable and the deterministic fake
+    otherwise (DECODE_BACKEND); "pillow"/"fake" force one. Undecodable or
+    empty blobs produce null features (a corrupt image must not kill a
+    10^9-row decode job). strict=True raises NotImplementedError when the
+    resolved backend is the fake — the honest no-codec contract."""
     out_schema = T.StructType(
         df.schema.fields + [
             T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
     n = resize_to
+    use = DECODE_BACKEND if backend == "auto" else backend
+    if use == "pillow" and _PIL_Image is None:
+        raise NotImplementedError("backend='pillow' but PIL is not importable")
+    if strict and use != "pillow":
+        raise NotImplementedError(
+            "real image decode requires a codec library "
+            f"(resolved backend={use}); install pillow — the operator "
+            "upgrades itself at import")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "real image decode requires a codec library "
-                f"(backend={DECODE_BACKEND}); install pillow and swap "
-                "_fake_decode for PIL-based decode")
+        decode = _pil_decode if use == "pillow" else _fake_decode
         for pdf in batches:
             feats = []
             for b in pdf[binary_col]:
                 if b is None or len(b) == 0:
                     feats.append(None)
-                else:
-                    feats.append(_fake_decode(bytes(b), n, n).reshape(-1).tolist())
+                    continue
+                try:
+                    feats.append(decode(bytes(b), n, n).reshape(-1).tolist())
+                except Exception:
+                    feats.append(None)   # undecodable bytes -> null features
             yield pdf.assign(features=feats)
 
     return df.mapInPandas(run, schema=out_schema)

@@ -27,18 +27,18 @@ def salt_column(df: DataFrame, salt_factor: int,
                 salt_col: str = "_salt") -> DataFrame:
     """Per-row salt in [0, salt_factor) that spreads even FULLY DUPLICATE
     rows (the classic hot key in log data is a million identical rows —
-    hashing column values alone would give them all one salt and salt
-    nothing). Mix the physical row position (partition id + partition-local
-    ordinal from monotonically_increasing_id) with a value hash: position
-    varies within a hot cluster regardless of values, the value hash keeps
-    the spread stable-ish across layouts. Salting is a performance hint —
-    results never depend on WHICH salt a row gets, so the physical-position
+    hashing column values would give them all one salt and salt nothing).
+    The salt hashes ONLY the physical row position (partition id +
+    partition-local ordinal from monotonically_increasing_id): position
+    varies within a hot cluster regardless of values, and hashing the full
+    row (the r2 form) paid an every-column hash — including fat text
+    columns — for no extra spread. Salting is a performance hint — results
+    never depend on WHICH salt a row gets, so the physical-position
     dependence is safe."""
     pos = F.monotonically_increasing_id()   # partition id << 33 | ordinal
     return df.withColumn(
         salt_col,
-        F.pmod(F.xxhash64(*([F.col(c) for c in df.columns] + [pos])),
-               F.lit(salt_factor)).cast("int"),
+        F.pmod(F.xxhash64(pos), F.lit(salt_factor)).cast("int"),
     )
 
 

@@ -11,6 +11,7 @@ runtime has the Iceberg Spark extension on the classpath.
 from __future__ import annotations
 
 import os
+import re
 from typing import Iterable, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,11 +84,21 @@ class IcebergWriter:
     ParquetWriter (write/append/read/tables) so plans.pipeline can use
     either interchangeably via make_writer."""
 
-    def __init__(self, spark: SparkSession, namespace: str):
+    def __init__(self, spark: SparkSession, namespace: str,
+                 create_namespace: bool = False):
         if not iceberg_available(spark):
             raise RuntimeError("Iceberg Spark runtime not on the classpath")
+        if not _is_sql_namespace(namespace):
+            raise ValueError(
+                f"{namespace!r} is not a SQL namespace (dotted identifiers); "
+                "IcebergWriter needs a catalog namespace, not a filesystem "
+                "path")
         self.spark = spark
         self.namespace = namespace
+        if create_namespace:
+            # fail fast here (catalog misconfigured) instead of at the first
+            # sink write mid-pipeline
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
 
     def write(self, df: DataFrame, table: str,
               partition_by: Optional[Iterable[str]] = None,
@@ -135,9 +146,58 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
-def make_writer(spark: SparkSession, root: str):
-    """Prefer Iceberg when the runtime supports it; parquet otherwise."""
-    try:
-        return IcebergWriter(spark, root)
-    except Exception:
+_NS_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
+
+def _is_sql_namespace(root: str) -> bool:
+    """True iff `root` is a dotted SQL identifier chain (an Iceberg
+    namespace), not a filesystem path or URI like /tmp/out or s3://...."""
+    return bool(_NS_RE.match(root))
+
+
+def _iceberg_catalog_configured(spark: SparkSession, namespace: str) -> bool:
+    """An Iceberg catalog must be EXPLICITLY configured for the namespace's
+    leading identifier (or the session catalog) — Class.forName alone only
+    proves jars are present, not that writes have anywhere to go."""
+    leading = namespace.split(".")[0]
+    for key in (f"spark.sql.catalog.{leading}",
+                "spark.sql.catalog.spark_catalog"):
+        try:
+            impl = spark.conf.get(key, None)
+        except Exception:
+            impl = None
+        if impl and "iceberg" in impl.lower():
+            return True
+    return False
+
+
+def make_writer(spark: SparkSession, root: str,
+                use_iceberg: Optional[bool] = None):
+    """Pick the sink writer for `root`.
+
+    use_iceberg=True  — require Iceberg; raises unless the jars are present,
+                        `root` is a SQL namespace, and a catalog is
+                        configured for it.
+    use_iceberg=False — parquet directories, always.
+    use_iceberg=None  — parquet unless ALL Iceberg preconditions hold (the
+                        r2 form auto-picked Iceberg on jar presence alone
+                        and then used a path like /tmp/out as a namespace).
+    The LOGPARSE_WRITER env var (iceberg|parquet) overrides a None default.
+    """
+    if use_iceberg is None:
+        env = os.environ.get("LOGPARSE_WRITER", "").lower()
+        if env in ("iceberg", "parquet"):
+            use_iceberg = env == "iceberg"
+    if use_iceberg is False:
         return ParquetWriter(root)
+    eligible = (_is_sql_namespace(root) and iceberg_available(spark)
+                and _iceberg_catalog_configured(spark, root))
+    if use_iceberg:
+        if not eligible:
+            raise ValueError(
+                f"Iceberg writer requested but unavailable for {root!r}: "
+                "need Iceberg jars, a dotted namespace (not a path), and a "
+                "spark.sql.catalog.<name> Iceberg catalog configuration")
+        return IcebergWriter(spark, root, create_namespace=True)
+    return (IcebergWriter(spark, root, create_namespace=True) if eligible
+            else ParquetWriter(root))

@@ -64,6 +64,51 @@ def read_lines_socket(spark: SparkSession, host: str = "localhost",
     )
 
 
+# the FIXED record schema every Kafka source batch/stream exposes
+# (spark-sql-kafka connector contract)
+KAFKA_RECORD_SCHEMA = T.StructType([
+    T.StructField("key", T.BinaryType()),
+    T.StructField("value", T.BinaryType()),
+    T.StructField("topic", T.StringType()),
+    T.StructField("partition", T.IntegerType()),
+    T.StructField("offset", T.LongType()),
+    T.StructField("timestamp", T.TimestampType()),
+    T.StructField("timestampType", T.IntegerType()),
+])
+
+
+def kafka_records_to_lines(records: DataFrame) -> DataFrame:
+    """Kafka records -> the raw-lines contract shared with the socket source
+    (url provenance, line_ordinal, raw_line). Works on a streaming OR batch
+    DataFrame of KAFKA_RECORD_SCHEMA shape, so the whole downstream plan
+    (parse -> counts/sinks) is testable without a broker; url carries
+    topic/partition and line_ordinal the Kafka offset — real per-line
+    provenance, unlike the socket source's arrival-only identity."""
+    return records.select(
+        F.concat(F.lit("kafka://"), F.col("topic"), F.lit("/"),
+                 F.col("partition").cast("string")).alias("url"),
+        F.col("offset").alias("line_ordinal"),
+        F.col("value").cast("string").alias("raw_line"),
+    )
+
+
+def read_lines_kafka(spark: SparkSession, bootstrap_servers: str,
+                     topic: str, starting_offsets: str = "latest"
+                     ) -> DataFrame:
+    """Kafka line-ingest source: format('kafka') -> kafka_records_to_lines.
+    Requires the spark-sql-kafka connector on the classpath (absent in this
+    sandbox — the projection and downstream plan are covered by tests over
+    KAFKA_RECORD_SCHEMA-shaped frames instead)."""
+    records = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return kafka_records_to_lines(records)
+
+
 def socket_type_counts(lines_stream: DataFrame,
                        schema: CompiledSchema) -> DataFrame:
     """Running routed-row counts per log type over a raw-line stream (the

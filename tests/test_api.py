@@ -154,3 +154,27 @@ class TestEnvPreload:
             del os.environ["LOGPARSE_PRELOAD_SCHEMA"]
             del os.environ["LOGPARSE_ANON_CONFIG"]
             importlib.reload(api_mod)
+
+
+class TestLoadEmbeddedSchema:
+    """Facade parity with rust_accel.load_embedded_schema (reference
+    rust_accel.py:72-78): env-designated schema loads, bare call raises."""
+
+    def test_loads_from_env(self):
+        import importlib
+        import logparse_rs_spark.api as api_mod
+        os.environ["LOGPARSE_PRELOAD_SCHEMA"] = SCHEMA
+        try:
+            importlib.reload(api_mod)
+            assert api_mod.load_embedded_schema() is True
+            assert api_mod.get_schema_status()["loaded"]
+        finally:
+            del os.environ["LOGPARSE_PRELOAD_SCHEMA"]
+            importlib.reload(api_mod)
+
+    def test_raises_without_env(self, monkeypatch):
+        import logparse_rs_spark.api as api_mod
+        monkeypatch.delenv("LOGPARSE_PRELOAD_SCHEMA", raising=False)
+        monkeypatch.delenv("SCHEMA_JSON_PATH", raising=False)
+        with pytest.raises(RuntimeError, match="Embedded schema"):
+            api_mod.load_embedded_schema()

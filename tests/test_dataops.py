@@ -385,3 +385,34 @@ class TestBandingValidation:
             "doc_id long, sig array<long>")
         with pytest.raises(Exception, match="does not match num_perm"):
             minhash_lsh_pairs(sigs, bands=16, num_perm=64).collect()
+
+
+class TestMultimodalBackends:
+    """The decode operator self-upgrades to pillow at import; both backends
+    share the contract (fixed-size features, null for empty/undecodable)."""
+
+    def _media(self, spark):
+        rows = [(1, b"\x89PNG not really a png"), (2, b""), (3, None)]
+        return spark.createDataFrame(rows, "id long, html binary")
+
+    def test_fake_backend_contract(self, spark):
+        from logparse_rs_spark.operators.multimodal import decode_and_featurize
+        out = {r["id"]: r["features"] for r in decode_and_featurize(
+            self._media(spark), resize_to=4, backend="fake").collect()}
+        assert len(out[1]) == 16
+        assert out[2] is None and out[3] is None
+
+    def test_pillow_backend(self, spark):
+        pytest.importorskip("PIL")
+        from logparse_rs_spark.operators.multimodal import decode_and_featurize
+        # garbage bytes under a REAL decoder -> null features, not a crash
+        out = {r["id"]: r["features"] for r in decode_and_featurize(
+            self._media(spark), resize_to=4, backend="pillow").collect()}
+        assert out[1] is None and out[2] is None and out[3] is None
+
+    def test_forced_pillow_without_pil_raises(self, spark):
+        from logparse_rs_spark.operators import multimodal as M
+        if M._PIL_Image is not None:
+            pytest.skip("PIL present in this environment")
+        with pytest.raises(NotImplementedError, match="pillow"):
+            M.decode_and_featurize(self._media(spark), backend="pillow")

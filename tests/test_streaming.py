@@ -187,3 +187,52 @@ class TestStreamingDedup:
         # ordered b2 first — the invariant is one survivor per text)
         assert survivors in ([0, 1, 4], [1, 3, 4])
         assert len(survivors) == 3
+
+
+class TestKafkaPlanShape:
+    """S4 closure: the Kafka ingest path is the SAME downstream plan as the
+    socket source, hanging off format('kafka'). The connector jars are not
+    in this sandbox, so the record->lines projection and the full
+    parse->counts plan are exercised over KAFKA_RECORD_SCHEMA-shaped frames
+    (the connector's fixed output contract)."""
+
+    def _records(self, spark, lines, topic="logs"):
+        import datetime
+        from logparse_rs_spark.streaming.stream import KAFKA_RECORD_SCHEMA
+        ts = datetime.datetime(2021, 6, 1)
+        rows = [(None, ln.encode(), topic, i % 2, i, ts, 0)
+                for i, ln in enumerate(lines)]
+        return spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)
+
+    def test_lines_contract_matches_socket_source(self, spark):
+        from logparse_rs_spark.streaming.stream import kafka_records_to_lines
+        lines = kafka_records_to_lines(self._records(spark, ["a,b,c,SYSTEM,x"]))
+        assert [f.name for f in lines.schema.fields] == \
+            ["url", "line_ordinal", "raw_line"]
+        r = lines.first()
+        assert r["url"] == "kafka://logs/0"
+        assert r["line_ordinal"] == 0
+        assert r["raw_line"] == "a,b,c,SYSTEM,x"
+
+    def test_type_counts_over_kafka_records(self, spark):
+        from logparse_rs_spark.schema import load_schema
+        from logparse_rs_spark.streaming.stream import (
+            kafka_records_to_lines, socket_type_counts)
+        schema = load_schema(SCHEMA)
+        lines = ["x,y,z,SYSTEM,s,e", "x,y,z,SYSTEM,s,e",
+                 "1,2021/01/01 00:00:00,01606001116,TRAFFIC,start,1,"
+                 "2021/01/01 00:00:00,10.0.0.1,10.0.1.1,0.0.0.0,0.0.0.0,"
+                 "r1,u1,,web-browsing,vsys1",
+                 "garbage line with no commas to speak of".replace(" ", "")]
+        counts = socket_type_counts(
+            kafka_records_to_lines(self._records(spark, lines)), schema)
+        got = {r["log_type"]: r["n"] for r in counts.collect()}
+        assert got == {"SYSTEM": 2, "TRAFFIC": 1}
+
+    def test_read_lines_kafka_requires_connector(self, spark):
+        # in this sandbox the kafka DataSource is absent; the reader must
+        # fail at source lookup, not silently degrade
+        import pytest as _pytest
+        from logparse_rs_spark.streaming.stream import read_lines_kafka
+        with _pytest.raises(Exception, match="(?i)kafka"):
+            read_lines_kafka(spark, "broker:9092", "logs")

@@ -50,9 +50,22 @@ class _StubCatalog:
         return fq in self.existing
 
 
+class _StubConf:
+    def __init__(self, settings=None):
+        self.settings = settings or {}
+
+    def get(self, key, default=None):
+        return self.settings.get(key, default)
+
+
 class _StubSpark:
-    def __init__(self, existing=()):
+    def __init__(self, existing=(), conf=None):
         self.catalog = _StubCatalog(set(existing))
+        self.conf = _StubConf(conf)
+        self.sql_log = []
+
+    def sql(self, stmt):
+        self.sql_log.append(stmt)
 
 
 @pytest.fixture
@@ -93,10 +106,46 @@ class TestMakeWriter:
         w = W.make_writer(spark, str(tmp_path))
         assert isinstance(w, W.ParquetWriter)
 
-    def test_prefers_iceberg_when_available(self, monkeypatch):
+    CAT = {"spark.sql.catalog.lake":
+           "org.apache.iceberg.spark.SparkCatalog"}
+
+    def test_prefers_iceberg_when_fully_configured(self, monkeypatch):
+        monkeypatch.setattr(W, "iceberg_available", lambda spark: True)
+        stub = _StubSpark(conf=self.CAT)
+        w = W.make_writer(stub, "lake")
+        assert isinstance(w, W.IcebergWriter)
+        # the namespace is created up front, not at the first sink write
+        assert stub.sql_log == ["CREATE NAMESPACE IF NOT EXISTS lake"]
+
+    def test_jars_alone_do_not_select_iceberg(self, monkeypatch):
+        # ADVICE r2: classpath presence is not enough — no configured
+        # catalog means writes have nowhere to go
         monkeypatch.setattr(W, "iceberg_available", lambda spark: True)
         w = W.make_writer(_StubSpark(), "lake")
+        assert isinstance(w, W.ParquetWriter)
+
+    def test_path_out_root_never_selects_iceberg(self, monkeypatch):
+        # '/tmp/out.sink_traffic' is not a valid Iceberg identifier
+        monkeypatch.setattr(W, "iceberg_available", lambda spark: True)
+        w = W.make_writer(_StubSpark(conf=self.CAT), "/tmp/out")
+        assert isinstance(w, W.ParquetWriter)
+
+    def test_explicit_request_validates(self, monkeypatch):
+        monkeypatch.setattr(W, "iceberg_available", lambda spark: True)
+        with pytest.raises(ValueError, match="not a path"):
+            W.make_writer(_StubSpark(conf=self.CAT), "/tmp/out",
+                          use_iceberg=True)
+        with pytest.raises(ValueError):
+            W.make_writer(_StubSpark(), "lake", use_iceberg=True)
+        w = W.make_writer(_StubSpark(conf=self.CAT), "lake",
+                          use_iceberg=True)
         assert isinstance(w, W.IcebergWriter)
+
+    def test_env_override_forces_parquet(self, monkeypatch):
+        monkeypatch.setattr(W, "iceberg_available", lambda spark: True)
+        monkeypatch.setenv("LOGPARSE_WRITER", "parquet")
+        w = W.make_writer(_StubSpark(conf=self.CAT), "lake")
+        assert isinstance(w, W.ParquetWriter)
 
 
 class TestParquetDynamicOverwrite:
