@@ -276,6 +276,31 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
         projected = projected.repartition(cfg.n_buckets, "bucket")
         writer.write(projected, sink.table, partition_by=["bucket"])
 
+    def write_columnar_group(sinks_in_table: List[SinkSpec]) -> None:
+        """Columnar sinks that SHARE a table fold into ONE write job:
+        per-type projections unioned by name (a type missing a column
+        yields nulls there) and written partitioned by (log_type, bucket)
+        — readers of one type still get partition pruning, replay still
+        overwrites only the touched (type, bucket) partitions, and the
+        phase pays one job's scheduling + codegen + commit instead of one
+        per type. At 8 cores the per-job fixed cost (~2-4 s of planning +
+        Janino codegen + commit setup, BENCH/BASELINE.md) dominated two
+        nearly-empty write jobs — folding them is the N->4N efficiency
+        lever, since fixed cost is what does NOT shrink with cores."""
+        parts = []
+        for s in sinks_in_table:
+            parts.append(project_type(
+                parsed, schema, s.log_type, columns=s.columns,
+                anon=anon if s.anonymize else None,
+                extra_cols=("log_type", "bucket"),
+            ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        out = out.repartition(cfg.n_buckets, "bucket")
+        writer.write(out, sinks_in_table[0].table,
+                     partition_by=["log_type", "bucket"])
+
     def write_map_sinks(map_sinks: List[SinkSpec]) -> None:
         """All map-payload sinks in ONE write job: type-erased
         map<string,string> parsed payload. Partitioned by BUCKET only
@@ -312,6 +337,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
     map_sinks = [s for s in cfg.sinks if s.payload == "map"]
     if map_sinks and len({s.table for s in map_sinks}) != 1:
         raise ValueError("all map-payload sinks must share one table")
+    col_groups: Dict[str, List[SinkSpec]] = {}
+    for s in columnar_sinks:
+        col_groups.setdefault(s.table, []).append(s)
     # HEAVIEST-FIRST job order (classic LPT scheduling): the map-payload
     # union sink and the full-width columnar sinks dominate the phase's
     # critical path, so they enter the pool first and the small bookkeeping
@@ -319,7 +347,11 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
     jobs = []
     if map_sinks:
         jobs.append((map_sinks[0].table, lambda: write_map_sinks(map_sinks)))
-    jobs += [(s.table, lambda s=s: write_sink(s)) for s in columnar_sinks]
+    for table, group in col_groups.items():
+        if len(group) == 1:
+            jobs.append((table, lambda s=group[0]: write_sink(s)))
+        else:
+            jobs.append((table, lambda g=group: write_columnar_group(g)))
     if cfg.write_rejects:
         jobs.append(("rejects", write_rejects))
     jobs.append(("fine_stats", collect_fine_stats))
@@ -375,8 +407,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
     lines_in = sum(status_counts.values())
 
     for sink in cfg.sinks:
-        key = (sink.table if sink.payload == "columns"
-               else f"{sink.table}/log_type={sink.log_type}")
+        shared = (sink.payload == "map"
+                  or len(col_groups.get(sink.table, ())) > 1)
+        key = (f"{sink.table}/log_type={sink.log_type}" if shared
+               else sink.table)
         per_sink_rows[key] = type_counts.get(sink.log_type, 0)
 
     # ---- metrics + ledger writes (tiny local frames); ledger commit (M4)
@@ -415,9 +449,12 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
 def default_sinks(schema: CompiledSchema,
                   narrow: bool = True) -> List[SinkSpec]:
     """One sink per log type. With `narrow` (the at-scale shape):
-    TRAFFIC/THREAT — the high-volume types — get columnar tables pruned to
-    the analytic dimensions; the long tail of low-volume types shares one
-    map-payload table (single write job, still partitioned per type).
+    TRAFFIC/THREAT — the high-volume types — get columnar projections
+    pruned to the analytic dimensions, folded into ONE shared table
+    partitioned by (log_type, bucket) and written by ONE job; the long
+    tail of low-volume types shares one map-payload table (also a single
+    write job, partitioned per type). Three write jobs total (fact table,
+    map table, rejects) regardless of how many log types the schema has.
     narrow=False gives every type its own full-width columnar table (the
     reference-NDJSON-parity shape)."""
     dims = ["source_address", "destination_address", "rule_name",
@@ -425,11 +462,11 @@ def default_sinks(schema: CompiledSchema,
     sinks = []
     for t in sorted(schema.type_to_fields):
         if narrow and t == "TRAFFIC":
-            sinks.append(SinkSpec(t, f"sink_{t.lower()}", columns=dims))
+            sinks.append(SinkSpec(t, "sink_fact", columns=dims))
         elif narrow and t == "THREAT":
             names = set(schema.type_to_fields[t])
             sinks.append(SinkSpec(
-                t, f"sink_{t.lower()}",
+                t, "sink_fact",
                 columns=[d for d in dims if d in names]))
         elif narrow:
             sinks.append(SinkSpec(t, "sink_other", payload="map"))

@@ -49,9 +49,16 @@ class TestMapSinks:
         for r in recs:
             if r["status"] == "ok":
                 want[r["log_type"]] = want.get(r["log_type"], 0) + 1
-        # columnar sinks
-        assert result.per_sink_rows["sink_traffic"] == want["TRAFFIC"]
-        assert result.per_sink_rows["sink_threat"] == want["THREAT"]
+        # folded columnar fact table (one write job, (log_type,bucket) dirs)
+        assert result.per_sink_rows["sink_fact/log_type=TRAFFIC"] == \
+            want["TRAFFIC"]
+        assert result.per_sink_rows["sink_fact/log_type=THREAT"] == \
+            want["THREAT"]
+        fact = ParquetWriter(out).read(spark, "sink_fact")
+        got_fact = {r["log_type"]: r["count"]
+                    for r in fact.groupBy("log_type").count().collect()}
+        assert got_fact == {"TRAFFIC": want["TRAFFIC"],
+                            "THREAT": want["THREAT"]}
         # map-payload union table, per-type partition counts
         other = ParquetWriter(out).read(spark, "sink_other")
         got = {r["log_type"]: r["count"]

@@ -125,7 +125,7 @@ class TestWarcPipeline:
             n_buckets=4)
         res = run_pipeline(spark, pages, cfg, resume=False)
         assert res.docs_in == 12
-        assert res.per_sink_rows.get("sink_traffic") == 12
+        assert res.per_sink_rows.get("sink_fact/log_type=TRAFFIC") == 12
         assert res.per_sink_rows.get("sink_other/log_type=SYSTEM") == 12
 
 
