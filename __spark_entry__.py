@@ -395,6 +395,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  F.count("*").alias("n_events"))
         )
 
+    def events_asof_join(spark, sf_dir):
+        # point-in-time enrichment: every click gets the user's most recent
+        # purchase value at-or-before the click. Single-shuffle union+window
+        # plan (operators/asof.py) vs DuckDB's native ASOF JOIN oracle.
+        from logparse_rs_spark.operators.asof import asof_join
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click") \
+            .select("event_id", "user_id", "ts", "value")
+        # deterministic right side: one row per (user, ts), highest event_id
+        purchases = (ev.filter(F.col("event_type") == "purchase")
+                     .groupBy("user_id", "ts")
+                     .agg(F.max_by("value", "event_id").alias("purchase_value")))
+        out = asof_join(clicks, purchases, on="user_id", left_ts="ts",
+                        value_cols=["purchase_value"], suffix="_last")
+        return out.select("event_id", "user_id", "ts", "value",
+                          F.col("purchase_value_last").alias("purchase_value"),
+                          F.col("ts_last").alias("purchase_ts"))
+
+    def log_pii_scrub(spark, sf_dir):
+        from logparse_rs_spark.operators.text import pii_scrub
+        pages_path, _ = _fixture_paths(sf_dir)
+        pages = spark.read.parquet(pages_path).select("url", "text")
+        return pii_scrub(pages, text_col="text", id_col="url")
+
+    def doc_stratified_sample(spark, sf_dir):
+        # reproducible content-hash sampling (FNV fingerprint ≡ 0 mod 20),
+        # stratified report per language
+        from logparse_rs_spark.operators.text import fingerprint_sample
+        sampled = fingerprint_sample(_docs(spark, sf_dir), modulus=20,
+                                     keep=0, exact_fnv=True)
+        return (sampled.groupBy("lang")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("total_chars")))
+
+    def doc_vocab_top25(spark, sf_dir):
+        from logparse_rs_spark.operators.text import vocab_top
+        return vocab_top(_docs(spark, sf_dir), k=25)
+
+    def doc_repeated_5grams(spark, sf_dir):
+        from logparse_rs_spark.operators.text import repeated_ngrams
+        return repeated_ngrams(_docs(spark, sf_dir), n=5, k=20, min_count=2)
+
+    def tpch_q5ish(spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+        # join order: big fact tables shuffle-join on their keys; every dim
+        # side is broadcast (supplier/nation/region are tiny at any SF that
+        # matters — nation/region are CONSTANT size at 100 TB)
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp),
+                  (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .filter((F.col("r_name") == "ASIA")
+                    & (F.col("o_orderdate") >= "1996-01-01")
+                    & (F.col("o_orderdate") < "1997-01-01"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name"))
+        )
+
     return {
         "log_route_counts": log_route_counts,
         "log_status_counts": log_status_counts,
@@ -429,6 +499,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": events_value_quantiles,
         "tpch_q3ish": tpch_q3ish,
         "lineitem_rollup": lineitem_rollup,
+        "events_asof_join": events_asof_join,
+        "log_pii_scrub": log_pii_scrub,
+        "doc_stratified_sample": doc_stratified_sample,
+        "doc_vocab_top25": doc_vocab_top25,
+        "doc_repeated_5grams": doc_repeated_5grams,
+        "tpch_q5ish": tpch_q5ish,
     }
 
 
@@ -767,7 +843,84 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
+        "events_asof_join": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'click'),
+            p AS (
+              SELECT user_id, ts, max_by(value, event_id) AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts)
+            SELECT c.event_id, c.user_id, c.ts, c.value,
+                   p.purchase_value, p.ts AS purchase_ts
+            FROM clicks c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "doc_stratified_sample": f"""
+            SELECT d.lang, COUNT(*) AS n_docs,
+                   SUM(d.n_chars)::BIGINT AS total_chars
+            FROM documents d JOIN {DOC_AUX} a ON d.doc_id = a.doc_id
+            WHERE ((a.fingerprint % 20) + 20) % 20 = 0
+            GROUP BY d.lang
+        """,
+        "doc_vocab_top25": r"""
+            SELECT token, COUNT(*) AS n FROM (
+              SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> '')) AS token
+              FROM documents)
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 25
+        """,
+        "doc_repeated_5grams": r"""
+            WITH w AS (
+              SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+            s AS (
+              SELECT unnest(CASE WHEN len(ws) >= 5 THEN
+                       list_transform(generate_series(1, len(ws) - 4),
+                         i -> array_to_string(list_slice(ws, i, i + 4), ' '))
+                     ELSE []::VARCHAR[] END) AS ngram
+              FROM w)
+            SELECT ngram, COUNT(*) AS n FROM s
+            GROUP BY ngram HAVING COUNT(*) >= 2
+            ORDER BY n DESC, ngram ASC LIMIT 20
+        """,
+        "tpch_q5ish": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+        """,
     }
+    # PII scrub oracle: patterns IMPORTED from the operator (one source of
+    # truth — the regexes are written RE2-and-Java compatible) applied in
+    # the same sorted-kind order over the pages fixture
+    from logparse_rs_spark.operators.text import PII_PATTERNS
+
+    pages_path, _ = _fixture_paths(ORACLE_SF)
+    scrub_expr = "text"
+    count_exprs = []
+    for kind in sorted(PII_PATTERNS):
+        pat = PII_PATTERNS[kind].replace("'", "''")
+        count_exprs.append(
+            f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{kind}")
+        scrub_expr = (f"regexp_replace({scrub_expr}, '{pat}', "
+                      f"'<{kind.upper()}>', 'g')")
+    d["log_pii_scrub"] = f"""
+        SELECT url, {', '.join(count_exprs)},
+               length({scrub_expr}) AS scrubbed_len
+        FROM read_parquet('{pages_path}')
+    """
     # composed text near-dup oracle: minhash banding CTE + exact 3-gram
     # jaccard verify, both already proven by their standalone oracles
     d["doc_text_neardup_verified"] = f"""

@@ -1,0 +1,103 @@
+"""As-of (point-in-time) join — the classic custom operator Spark's
+DataFrame API lacks as a primitive.
+
+For every left row, attach the value columns of the single right row with
+the greatest right timestamp <= the left timestamp ("backward", the
+default; "forward" takes the smallest right ts >= left ts), matching on an
+equality key. Semantics match DuckDB/pandas ``ASOF JOIN`` (ties at equal
+timestamps DO match), which is what the oracle checks against.
+
+Spark-first physical form: no join at all. The two sides are UNIONED and
+resolved with ONE window pass —
+
+    union(left tagged 1, right tagged 0)
+      -> window partitionBy(key) orderBy(ts, tag)
+      -> last(value, ignorenulls=True) over rows unbounded-preceding..current
+      -> keep the left rows
+
+so the whole operator is a single hash shuffle on the key plus an
+in-partition sort: the same cost as one sort-merge join, with NO risk of
+the range-condition row explosion a naive ``left.ts >= right.ts`` theta
+join produces (Spark would plan that as a broadcast nested-loop). At
+10^12 rows this is one shuffle of (key, ts, values) — and because a
+skewed key's rows still sort within one partition, pair a hot key with a
+coarse time-bucket salt upstream if a single entity exceeds a partition
+(same playbook as operators/skew.py).
+
+Right-side determinism: if several right rows share (key, ts), the caller
+should pre-aggregate (e.g. max_by on a unique id) — the operator otherwise
+resolves the tie by right-row input order, which is not stable across
+partitionings. ``asof_join`` asserts nothing about it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: Optional[str] = None,
+              value_cols: Optional[Sequence[str]] = None,
+              direction: str = "backward",
+              tolerance_s: Optional[float] = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Backward/forward as-of join of `right` onto `left` by key `on`.
+
+    Returns every left row + for each v in value_cols a `v{suffix}` column
+    (null when no right row qualifies) + `{right_ts}{suffix}` with the
+    matched right timestamp. `tolerance_s` drops matches further than that
+    many seconds from the left timestamp (nulls them, like pandas
+    merge_asof's tolerance).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    right_ts = right_ts or left_ts
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    ts = "_asof_ts"
+    tag = "_asof_is_left"
+    matched_ts = f"{right_ts}{suffix}"
+
+    lhs = left.withColumn(tag, F.lit(1)) \
+        .withColumn(ts, F.col(left_ts)) \
+        .withColumn(matched_ts, F.lit(None).cast(right.schema[right_ts].dataType))
+    for v in value_cols:
+        lhs = lhs.withColumn(f"{v}{suffix}",
+                             F.lit(None).cast(right.schema[v].dataType))
+    rhs = right.select(
+        F.col(on),
+        F.lit(0).alias(tag),
+        F.col(right_ts).alias(ts),
+        F.col(right_ts).alias(matched_ts),
+        *[F.col(v).alias(f"{v}{suffix}") for v in value_cols],
+    )
+    # null-fill the left-only columns on the right side via unionByName
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    # backward: right rows must sort BEFORE left rows at equal ts so a tie
+    # matches (ASOF semantics are inclusive); forward is the mirror image.
+    if direction == "backward":
+        order = [F.col(ts).asc(), F.col(tag).asc()]
+    else:
+        order = [F.col(ts).desc(), F.col(tag).asc()]
+    w = (Window.partitionBy(on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    out = unioned
+    carried = [matched_ts] + [f"{v}{suffix}" for v in value_cols]
+    for c in carried:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = out.filter(F.col(tag) == 1)
+
+    if tolerance_s is not None:
+        gap = F.abs(F.unix_micros(F.col(left_ts).cast("timestamp_ltz"))
+                    - F.unix_micros(F.col(matched_ts).cast("timestamp_ltz")))
+        keep = gap <= int(tolerance_s * 1_000_000)
+        for c in carried:
+            out = out.withColumn(c, F.when(keep, F.col(c)))
+
+    return out.drop(tag, ts)

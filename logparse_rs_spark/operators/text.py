@@ -119,6 +119,102 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     )
 
 
+# conservative, RE2-and-Java-compatible PII patterns (no \b, no lookarounds
+# — both engines must agree byte-for-byte for the oracle to hold)
+PII_PATTERNS = {
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}",
+}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              patterns: dict | None = None) -> DataFrame:
+    """Redact PII-shaped substrings with <KIND> placeholder tokens and count
+    matches per kind. Pure JVM regexp ops — one projection, no shuffle, no
+    Python in the row path; at 100 TB this runs inside whole-stage codegen
+    on the scan. (The log pipeline's keyed-hash anonymizer is the
+    REVERSIBLE-mapping path; this is the destructive scrub used before
+    publishing a training corpus.)"""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    text = F.col(text_col)
+    scrubbed = text
+    counts = []
+    for kind in sorted(patterns):
+        pat = patterns[kind]
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{kind}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return docs.select(F.col(id_col), *counts,
+                       F.length(scrubbed).alias("scrubbed_len"))
+
+
+def _words(text_col) -> F.Column:
+    """Lowercased whitespace tokens, empties dropped (split on '\\s+'
+    emits a leading '' for leading whitespace)."""
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
+
+
+def vocab_top(docs: DataFrame, k: int = 25,
+              text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary build (the token-frequency pass a BPE/tokenizer
+    training job starts from): explode whitespace tokens, hash-aggregate
+    counts, top-k with a full deterministic order (count desc, token asc).
+
+    Scale shape: explode -> partial map-side count -> one shuffle on token
+    -> TakeOrdered. Token frequency is Zipfian — the hottest tokens are
+    exactly where map-side partial aggregation does its work (each
+    partition emits one row per distinct token, so the shuffle carries
+    vocab-sized, not corpus-sized, data)."""
+    return (docs.select(F.explode(_words(F.col(text_col))).alias("token"))
+            .groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("token")).limit(k))
+
+
+def repeated_ngrams(docs: DataFrame, n: int = 5, k: int = 20,
+                    min_count: int = 2, text_col: str = "text") -> DataFrame:
+    """Most-repeated word n-grams across the corpus (the repetition /
+    boilerplate detector — C4-style cleaning drops documents dominated by
+    duplicated lines; at corpus level the top repeated n-grams ARE the
+    boilerplate inventory). Every occurrence counts, so duplicated
+    documents surface their shingles immediately.
+
+    JVM-side throughout: split -> higher-order transform over an index
+    sequence (no UDF) -> explode -> hash count -> TakeOrdered."""
+    words = _words(F.col(text_col))
+    shingles = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select(F.explode(shingles).alias("ngram"))
+            .groupBy("ngram").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= min_count)
+            .orderBy(F.desc("n"), F.asc("ngram")).limit(k))
+
+
+def fingerprint_sample(docs: DataFrame, modulus: int = 20, keep: int = 0,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       exact_fnv: bool = False) -> DataFrame:
+    """Deterministic content-hash sampling: keep the rows whose text
+    fingerprint ≡ keep (mod modulus). The workhorse of reproducible corpus
+    curation — the sample is a pure function of the CONTENT, so it is
+    stable across runs, cluster sizes, and input orderings, and two teams
+    sampling the same corpus get the same documents (unlike
+    df.sample(), which is seed-and-partitioning dependent). Narrow
+    (filter only, no shuffle); composes with stratification by grouping
+    the survivors."""
+    fp = fingerprint(docs.select(F.col(id_col), F.col(text_col)),
+                     text_col=text_col, id_col=id_col, exact_fnv=exact_fnv)
+    sampled = fp.filter(F.pmod(F.col("fingerprint"), F.lit(modulus))
+                        == F.lit(keep))
+    return docs.join(sampled.select(id_col), on=id_col, how="inner")
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", exact_fnv: bool = False) -> DataFrame:
     """64-bit document fingerprint over normalized text. Default: xxhash64
