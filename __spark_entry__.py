@@ -465,6 +465,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy(F.desc("revenue"), F.asc("n_name"))
         )
 
+    def doc_dup_clusters(spark, sf_dir):
+        # pairs -> GROUPS: transitive closure of the LSH pair graph via
+        # iterative min-label propagation (operators/graph.py); checked
+        # against a DuckDB RECURSIVE-CTE closure over the same pair set
+        from logparse_rs_spark.operators.dedup import (
+            minhash_lsh_pairs, minhash_signatures)
+        from logparse_rs_spark.operators.graph import dup_clusters
+        sigs = minhash_signatures(_docs(spark, sf_dir), num_perm=64)
+        return dup_clusters(minhash_lsh_pairs(sigs, bands=16))
+
+    def events_running_total(spark, sf_dir):
+        # per-user running purchase total in exact integer cents (floats
+        # would tie the answer to each engine's window-sum association
+        # order); ordered window + unbounded-preceding frame
+        from pyspark.sql import Window
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        return (ev.filter(F.col("event_type") == "purchase")
+                .select("event_id", "user_id", "ts",
+                        F.sum(cents).over(w).alias("running_cents")))
+
     return {
         "log_route_counts": log_route_counts,
         "log_status_counts": log_status_counts,
@@ -505,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_top25": doc_vocab_top25,
         "doc_repeated_5grams": doc_repeated_5grams,
         "tpch_q5ish": tpch_q5ish,
+        "doc_dup_clusters": doc_dup_clusters,
+        "events_running_total": events_running_total,
     }
 
 
@@ -902,6 +927,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name ORDER BY revenue DESC, n_name ASC
         """,
     }
+    # duplicate-cluster oracle: transitive closure of the SAME pair set via
+    # a recursive CTE (DuckDB computes reachability independently of the
+    # Spark label-propagation loop)
+    d["doc_dup_clusters"] = f"""
+        WITH RECURSIVE p AS ({d["doc_minhash_pairs"]}),
+        edges AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        sizes AS (SELECT component, COUNT(*) AS cluster_size
+                  FROM comp GROUP BY component)
+        SELECT c.id, c.component, s.cluster_size
+        FROM comp c JOIN sizes s USING (component)
+    """
+    d["events_running_total"] = """
+        SELECT event_id, user_id, ts,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS running_cents
+        FROM events WHERE event_type = 'purchase'
+    """
     # PII scrub oracle: patterns IMPORTED from the operator (one source of
     # truth — the regexes are written RE2-and-Java compatible) applied in
     # the same sorted-kind order over the pages fixture

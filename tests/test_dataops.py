@@ -594,3 +594,54 @@ class TestFingerprintSample:
         total = docs.count()
         sizes = [fingerprint_sample(docs, 4, k).count() for k in range(4)]
         assert sum(sizes) == total
+
+
+class TestDupClusters:
+    def test_components_vs_python(self, spark):
+        import pandas as pd
+        from logparse_rs_spark.operators.graph import connected_components
+        # two triangles bridged by one edge + an isolated pair
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
+                 (10, 11)]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["id_a", "id_b"]))
+        got = {r["id"]: r["component"]
+               for r in connected_components(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+    def test_partitioning_invariant(self, spark):
+        import pandas as pd
+        import numpy as np
+        from logparse_rs_spark.operators.graph import connected_components
+        rng = np.random.RandomState(3)
+        edges = pd.DataFrame({"id_a": rng.randint(0, 60, 120),
+                              "id_b": rng.randint(0, 60, 120)})
+        edges = edges[edges.id_a != edges.id_b]
+        df = spark.createDataFrame(edges)
+        a = sorted(map(tuple, connected_components(df).collect()))
+        b = sorted(map(tuple,
+                       connected_components(df.repartition(13)).collect()))
+        assert a == b
+        # cross-check against a python union-find
+        parent = list(range(60))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for r in edges.itertuples():
+            parent[find(r.id_a)] = find(r.id_b)
+        want = {}
+        for n in set(edges.id_a) | set(edges.id_b):
+            want.setdefault(find(n), set()).add(n)
+        comp_of = {n: min(m) for m in want.values() for n in m}
+        assert dict(a) == comp_of
+
+    def test_nonconvergence_raises(self, spark):
+        import pandas as pd
+        from logparse_rs_spark.operators.graph import connected_components
+        chain = [(i, i + 1) for i in range(12)]
+        df = spark.createDataFrame(
+            pd.DataFrame(chain, columns=["id_a", "id_b"]))
+        with __import__("pytest").raises(RuntimeError, match="converge"):
+            connected_components(df, max_iter=2)
