@@ -444,12 +444,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
         nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
         reg = spark.read.parquet(f"{sf_dir}/region.parquet")
-        # join order: big fact tables shuffle-join on their keys; every dim
-        # side is broadcast (supplier/nation/region are tiny at any SF that
-        # matters — nation/region are CONSTANT size at 100 TB)
+        # join order: the fact tables (lineitem, orders, customer — all
+        # O(SF)) shuffle-join on their keys; only the genuinely bounded
+        # dims are broadcast (supplier is small per SF unit; nation/region
+        # are CONSTANT size at 100 TB)
         return (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(supp),
                   (li.l_suppkey == supp.s_suppkey)
                   & (cust.c_nationkey == supp.s_nationkey))

@@ -17,6 +17,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -143,7 +144,7 @@ def pipeline_worker(cores: int, pages_path: str, warmup_pages: int) -> None:
             partitions_per_run=fixed_parts,
         )
 
-    tmp = tempfile.mkdtemp(prefix="bench_pipe_", dir=scratch)
+    tmp = tempfile.mkdtemp(prefix=f"bench_pipe_{os.getpid()}_", dir=scratch)
     try:
         # warmup: spin up python workers, JIT, codegen
         warm = pages.limit(warmup_pages)
@@ -194,6 +195,23 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--pipeline-worker":
         pipeline_worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
         return
+
+    # reap scratch left by workers that were killed mid-run (their finally
+    # blocks never ran) — tmpfs space must not leak across invocations.
+    # Dir names embed the owning pid; only dirs whose owner is DEAD are
+    # removed, so an overlapping live bench invocation is never clobbered.
+    scratch = _scratch_dir()
+    if scratch:
+        for stale in (glob.glob(os.path.join(scratch, "bench_pipe_*"))
+                      + glob.glob(os.path.join(scratch, "bench_local_*"))):
+            # bench_pipe_<pid>_<rand> / bench_local_<pid>: field 2 = pid
+            parts = os.path.basename(stale).split("_")
+            try:
+                alive = os.path.exists(f"/proc/{int(parts[2])}")
+            except (IndexError, ValueError):
+                alive = False  # pre-pid naming scheme -> safe to reap
+            if not alive:
+                shutil.rmtree(stale, ignore_errors=True)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))

@@ -60,22 +60,25 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
 
     ts = "_asof_ts"
     tag = "_asof_is_left"
+    row = "_asof_row"
     matched_ts = f"{right_ts}{suffix}"
 
-    lhs = left.withColumn(tag, F.lit(1)) \
-        .withColumn(ts, F.col(left_ts)) \
-        .withColumn(matched_ts, F.lit(None).cast(right.schema[right_ts].dataType))
-    for v in value_cols:
-        lhs = lhs.withColumn(f"{v}{suffix}",
-                             F.lit(None).cast(right.schema[v].dataType))
+    # ONE struct per right row carries (matched_ts, *values) together: a
+    # single last(ignorenulls) then resolves the whole matching ROW, so a
+    # NULL value inside the best row stays NULL (per-column carries would
+    # backfill it from an older row) and no output can mix fields of two
+    # different right rows.
     rhs = right.select(
         F.col(on),
         F.lit(0).alias(tag),
         F.col(right_ts).alias(ts),
-        F.col(right_ts).alias(matched_ts),
-        *[F.col(v).alias(f"{v}{suffix}") for v in value_cols],
+        F.struct(F.col(right_ts).alias(matched_ts),
+                 *[F.col(v).alias(f"{v}{suffix}") for v in value_cols])
+        .alias(row),
     )
-    # null-fill the left-only columns on the right side via unionByName
+    lhs = left.withColumn(tag, F.lit(1)) \
+        .withColumn(ts, F.col(left_ts)) \
+        .withColumn(row, F.lit(None).cast(rhs.schema[row].dataType))
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
     # backward: right rows must sort BEFORE left rows at equal ts so a tie
@@ -87,17 +90,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     w = (Window.partitionBy(on).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-    out = unioned
-    carried = [matched_ts] + [f"{v}{suffix}" for v in value_cols]
-    for c in carried:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = out.filter(F.col(tag) == 1)
+    out = (unioned
+           .withColumn(row, F.last(row, ignorenulls=True).over(w))
+           .filter(F.col(tag) == 1))
 
     if tolerance_s is not None:
-        gap = F.abs(F.unix_micros(F.col(left_ts).cast("timestamp_ltz"))
-                    - F.unix_micros(F.col(matched_ts).cast("timestamp_ltz")))
-        keep = gap <= int(tolerance_s * 1_000_000)
-        for c in carried:
-            out = out.withColumn(c, F.when(keep, F.col(c)))
+        gap = F.abs(
+            F.unix_micros(F.col(left_ts).cast("timestamp_ltz"))
+            - F.unix_micros(F.col(row)[matched_ts].cast("timestamp_ltz")))
+        out = out.withColumn(
+            row, F.when(gap <= int(tolerance_s * 1_000_000), F.col(row)))
 
-    return out.drop(tag, ts)
+    carried = [matched_ts] + [f"{v}{suffix}" for v in value_cols]
+    for c in carried:
+        out = out.withColumn(c, F.col(row)[c])
+    return out.drop(tag, ts, row)

@@ -205,14 +205,21 @@ def fingerprint_sample(docs: DataFrame, modulus: int = 20, keep: int = 0,
     curation — the sample is a pure function of the CONTENT, so it is
     stable across runs, cluster sizes, and input orderings, and two teams
     sampling the same corpus get the same documents (unlike
-    df.sample(), which is seed-and-partitioning dependent). Narrow
-    (filter only, no shuffle); composes with stratification by grouping
-    the survivors."""
-    fp = fingerprint(docs.select(F.col(id_col), F.col(text_col)),
-                     text_col=text_col, id_col=id_col, exact_fnv=exact_fnv)
-    sampled = fp.filter(F.pmod(F.col("fingerprint"), F.lit(modulus))
-                        == F.lit(keep))
-    return docs.join(sampled.select(id_col), on=id_col, how="inner")
+    df.sample(), which is seed-and-partitioning dependent). Narrow —
+    one inline fingerprint + filter on the scan, no shuffle, no second
+    pass over docs; composes with stratification by grouping the
+    survivors."""
+    from .dedup import normalized_text
+
+    norm = normalized_text(F.col(text_col))
+    if exact_fnv:
+        from ..functions import fnv1a_col
+        fp = fnv1a_col(norm)
+    else:
+        fp = F.xxhash64(norm)
+    return (docs.withColumn("_fp", fp)
+            .filter(F.pmod(F.col("_fp"), F.lit(modulus)) == F.lit(keep))
+            .drop("_fp"))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",

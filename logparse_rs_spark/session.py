@@ -45,7 +45,16 @@ def get_spark(app_name: str = "logparse_rs_spark", cores: int | None = None,
     master_tpl = os.environ.get("SPARK_GRAFT_MASTER")
     exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
     if master_tpl:
-        n_execs = max(1, cores // exec_cores)
+        # total task slots must equal `cores` EXACTLY — a scaling
+        # comparison that silently rounds (e.g. cores=1 -> 1 executor x 2
+        # cores = 2 slots) would measure the wrong ratio
+        if cores < exec_cores:
+            exec_cores = cores
+        if cores % exec_cores:
+            raise ValueError(
+                f"cores={cores} not divisible by exec_cores={exec_cores}; "
+                "set SPARK_GRAFT_EXEC_CORES to a divisor")
+        n_execs = cores // exec_cores
         master = master_tpl.format(cores=cores, execs=n_execs,
                                    exec_cores=exec_cores)
     else:

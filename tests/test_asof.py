@@ -96,6 +96,29 @@ class TestAsofBackward:
                 (None if pd.isna(r.rv_asof) else round(r.rv_asof, 9))
 
 
+class TestAsofNullValue:
+    def test_null_in_best_row_stays_null(self, spark):
+        # the best-matching right row's NULL value must NOT be backfilled
+        # from an older right row, and all carried fields must come from
+        # the SAME right row (regression: per-column last(ignorenulls))
+        left = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "ts": [_ts("2021-01-01T00:00:10")],
+                          "lv": [1.0]}))
+        right = spark.createDataFrame(
+            pd.DataFrame({
+                "k": [1, 1],
+                "ts": [_ts("2021-01-01T00:00:05"),
+                       _ts("2021-01-01T00:00:08")],
+                "rv": [100.0, None],
+                "rw": [7.0, 8.0],
+            }))
+        r = asof_join(left, right, on="k", left_ts="ts",
+                      value_cols=["rv", "rw"]).collect()[0]
+        assert r["ts_asof"].second == 8
+        assert r["rv_asof"] is None   # NULL in the matched row, kept NULL
+        assert r["rw_asof"] == 8.0    # same row as the matched ts
+
+
 class TestAsofVariants:
     def test_forward(self, frames):
         left, right = frames

@@ -438,94 +438,6 @@ class TestPiiScrub:
         # scrubbed length equals python re.sub applied in the same order
         import re
         from logparse_rs_spark.operators.text import PII_PATTERNS
-        for i, t in [(1, df.toPandas().text[0]), (2, "call +1-555-1234 today")]:
-            s = t
-            for kind in sorted(PII_PATTERNS):
-                s = re.sub(PII_PATTERNS[kind], f"<{kind.upper()}>", s)
-            assert got[i]["scrubbed_len"] == len(s)
-
-    def test_no_python_in_plan(self, spark):
-        import pandas as pd
-        from logparse_rs_spark.operators.text import pii_scrub
-        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
-        plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
-        assert "Python" not in plan  # stays in whole-stage codegen
-
-
-class TestVocabAndNgrams:
-    def test_vocab_matches_python(self, spark, docs):
-        from collections import Counter
-        from logparse_rs_spark.operators.text import vocab_top
-        rows = docs.select("text").collect()
-        c = Counter(w for r in rows for w in r["text"].lower().split())
-        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
-        got = [(r["token"], r["n"]) for r in vocab_top(docs, k=25).collect()]
-        assert got == want
-
-    def test_repeated_ngrams_match_python(self, spark, docs):
-        from collections import Counter
-        from logparse_rs_spark.operators.text import repeated_ngrams
-        rows = docs.select("text").collect()
-        c = Counter()
-        for r in rows:
-            ws = r["text"].lower().split()
-            for i in range(len(ws) - 4):
-                c[" ".join(ws[i:i + 5])] += 1
-        want = sorted(((g, n) for g, n in c.items() if n >= 2),
-                      key=lambda kv: (-kv[1], kv[0]))[:20]
-        got = [(r["ngram"], r["n"])
-               for r in repeated_ngrams(docs, n=5, k=20, min_count=2).collect()]
-        assert got == want
-
-    def test_short_doc_yields_no_ngrams(self, spark):
-        import pandas as pd
-        from logparse_rs_spark.operators.text import repeated_ngrams
-        df = spark.createDataFrame(pd.DataFrame(
-            {"doc_id": [1, 2], "text": ["a b c d", "a b c d"]}))
-        assert repeated_ngrams(df, n=5, min_count=1).count() == 0
-
-
-class TestFingerprintSample:
-    def test_deterministic_and_content_keyed(self, spark, docs):
-        from logparse_rs_spark.operators.text import fingerprint_sample
-        a = sorted(r["doc_id"] for r in
-                   fingerprint_sample(docs, 10, 0).select("doc_id").collect())
-        b = sorted(r["doc_id"] for r in
-                   fingerprint_sample(docs, 10, 0).select("doc_id").collect())
-        assert a == b and len(a) > 0
-        # repartitioning the input does not change the sample (content-keyed)
-        c = sorted(r["doc_id"] for r in
-                   fingerprint_sample(docs.repartition(7), 10, 0)
-                   .select("doc_id").collect())
-        assert a == c
-
-    def test_strata_cover_modulus(self, spark, docs):
-        from logparse_rs_spark.operators.text import fingerprint_sample
-        total = docs.count()
-        sizes = [fingerprint_sample(docs, 4, k).count() for k in range(4)]
-        assert sum(sizes) == total
-
-
-class TestPiiScrub:
-    def test_counts_and_scrub(self, spark):
-        import pandas as pd
-        from logparse_rs_spark.operators.text import pii_scrub
-        df = spark.createDataFrame(pd.DataFrame({
-            "doc_id": [1, 2, 3],
-            "text": [
-                "mail bob.smith+x@corp.example.com from 10.0.0.1 or 10.0.0.2",
-                "call +1-555-1234 today",
-                "nothing here",
-            ],
-        }))
-        got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
-        assert got[1]["n_email"] == 1
-        assert got[1]["n_ipv4"] == 2
-        assert got[2]["n_phone"] == 1
-        assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
-        # scrubbed length equals python re.sub applied in the same order
-        import re
-        from logparse_rs_spark.operators.text import PII_PATTERNS
         texts = {1: "mail bob.smith+x@corp.example.com from 10.0.0.1 or 10.0.0.2",
                  2: "call +1-555-1234 today"}
         for i, t in texts.items():
