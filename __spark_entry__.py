@@ -476,6 +476,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sigs = minhash_signatures(_docs(spark, sf_dir), num_perm=64)
         return dup_clusters(minhash_lsh_pairs(sigs, bands=16))
 
+    def doc_contamination(spark, sf_dir):
+        # benchmark-decontamination: training docs sharing any 5-gram with
+        # the "eval set" (doc_id < 25 stands in for a benchmark); the eval
+        # shingle side is broadcast so the corpus never shuffles
+        from logparse_rs_spark.operators.text import contamination_check
+        docs = _docs(spark, sf_dir)
+        return contamination_check(docs.filter("doc_id >= 25"),
+                                   docs.filter("doc_id < 25"), n=5)
+
     def events_running_total(spark, sf_dir):
         # per-user running purchase total in exact integer cents (floats
         # would tie the answer to each engine's window-sum association
@@ -531,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": tpch_q5ish,
         "doc_dup_clusters": doc_dup_clusters,
         "events_running_total": events_running_total,
+        "doc_contamination": doc_contamination,
     }
 
 
@@ -946,6 +956,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM comp GROUP BY component)
         SELECT c.id, c.component, s.cluster_size
         FROM comp c JOIN sizes s USING (component)
+    """
+    # contamination oracle compares via the n-gram STRINGS (the Spark side
+    # joins on xxhash64 of the same strings; identical counts unless the
+    # 64-bit hash collides within the ~25k-shingle fixture — vanishingly
+    # unlikely, and a collision would surface as a hash-compare mismatch)
+    d["doc_contamination"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(ws) >= 5 THEN
+                   list_transform(generate_series(1, len(ws) - 4),
+                     i -> array_to_string(list_slice(ws, i, i + 4), ' '))
+                 ELSE []::VARCHAR[] END) AS gs
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents)),
+        t AS (SELECT doc_id, unnest(gs) AS g FROM w WHERE doc_id >= 25),
+        e AS (SELECT doc_id AS eval_id, unnest(gs) AS g FROM w
+              WHERE doc_id < 25)
+        SELECT t.doc_id, e.eval_id, COUNT(*) AS shared_ngrams
+        FROM t JOIN e USING (g) GROUP BY t.doc_id, e.eval_id
     """
     d["events_running_total"] = """
         SELECT event_id, user_id, ts,

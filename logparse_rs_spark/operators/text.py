@@ -197,6 +197,39 @@ def repeated_ngrams(docs: DataFrame, n: int = 5, k: int = 20,
             .orderBy(F.desc("n"), F.asc("ngram")).limit(k))
 
 
+def contamination_check(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Benchmark-decontamination scan: which training documents share at
+    least one word n-gram with an evaluation set (the standard test-set
+    leakage check run before training). Returns (doc_id, eval_id,
+    shared_ngrams) per contaminated (train, eval) pair.
+
+    Scale shape: both sides explode to DISTINCT per-doc shingle hashes
+    (xxhash64 of the n-gram — the join never ships n-gram strings), then
+    one equi-join on the hash. The eval side is tiny in practice (thousands
+    of benchmark docs vs 10^12 training docs) — broadcast it and the whole
+    check is a map-side hash probe over the training scan, no shuffle of
+    the corpus. The train side dedups shingles per doc BEFORE the join so
+    a doc repeating one leaked phrase k times produces one row, not k."""
+    def shingle_hashes(df, out_id):
+        words = _words(F.col(text_col))
+        shingles = F.when(
+            F.size(words) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)),
+                        lambda i: F.xxhash64(F.concat_ws(
+                            " ", F.slice(words, i, n)))),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return (df.select(F.col(id_col).alias(out_id),
+                          F.explode(F.array_distinct(shingles)).alias("gh")))
+
+    train = shingle_hashes(docs, "doc_id")
+    evals = shingle_hashes(eval_docs, "eval_id")
+    return (train.join(F.broadcast(evals), on="gh")
+            .groupBy("doc_id", "eval_id")
+            .agg(F.count("*").alias("shared_ngrams")))
+
+
 def fingerprint_sample(docs: DataFrame, modulus: int = 20, keep: int = 0,
                        text_col: str = "text", id_col: str = "doc_id",
                        exact_fnv: bool = False) -> DataFrame:

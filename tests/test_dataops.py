@@ -557,3 +557,41 @@ class TestDupClusters:
             pd.DataFrame(chain, columns=["id_a", "id_b"]))
         with __import__("pytest").raises(RuntimeError, match="converge"):
             connected_components(df, max_iter=2)
+
+
+class TestContamination:
+    def test_matches_python(self, spark, docs):
+        from collections import defaultdict
+        from logparse_rs_spark.operators.text import contamination_check
+        rows = docs.select("doc_id", "text").collect()
+        def shingles(t):
+            ws = t.lower().split()
+            return {" ".join(ws[i:i + 5]) for i in range(len(ws) - 4)}
+        ev = {r["doc_id"]: shingles(r["text"]) for r in rows
+              if r["doc_id"] < 10}
+        tr = {r["doc_id"]: shingles(r["text"]) for r in rows
+              if r["doc_id"] >= 10}
+        want = {}
+        for tid, ts in tr.items():
+            for eid, es in ev.items():
+                k = len(ts & es)
+                if k:
+                    want[(tid, eid)] = k
+        got = {(r["doc_id"], r["eval_id"]): r["shared_ngrams"]
+               for r in contamination_check(
+                   docs.filter("doc_id >= 10"),
+                   docs.filter("doc_id < 10"), n=5).collect()}
+        assert got == want
+
+    def test_repeated_phrase_counts_once(self, spark):
+        import pandas as pd
+        from logparse_rs_spark.operators.text import contamination_check
+        phrase = "the quick brown fox jumps"
+        train = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [100],
+            "text": [f"{phrase} and {phrase} and {phrase}"]}))
+        evals = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1], "text": [phrase]}))
+        out = contamination_check(train, evals, n=5).collect()
+        assert len(out) == 1
+        assert out[0]["shared_ngrams"] == 1  # distinct per doc, not 3
