@@ -485,6 +485,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return contamination_check(docs.filter("doc_id >= 25"),
                                    docs.filter("doc_id < 25"), n=5)
 
+    def doc_cluster_dedup_stats(spark, sf_dir):
+        # the full near-dup dedup ENDGAME: pairs -> transitive clusters ->
+        # keep one canonical doc (min id) per cluster -> corpus stats of
+        # the survivors. anti-join keeps the corpus scan narrow.
+        from logparse_rs_spark.operators.dedup import (
+            minhash_lsh_pairs, minhash_signatures)
+        from logparse_rs_spark.operators.graph import connected_components
+        docs = _docs(spark, sf_dir)
+        sigs = minhash_signatures(docs, num_perm=64)
+        comp = connected_components(minhash_lsh_pairs(sigs, bands=16))
+        drop = (comp.filter(F.col("id") != F.col("component"))
+                .select(F.col("id").alias("doc_id")))
+        kept = docs.join(drop, on="doc_id", how="left_anti")
+        return (kept.groupBy("lang")
+                .agg(F.count("*").alias("kept_docs"),
+                     F.sum("n_chars").alias("kept_chars")))
+
     def events_running_total(spark, sf_dir):
         # per-user running purchase total in exact integer cents (floats
         # would tie the answer to each engine's window-sum association
@@ -541,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": doc_dup_clusters,
         "events_running_total": events_running_total,
         "doc_contamination": doc_contamination,
+        "doc_cluster_dedup_stats": doc_cluster_dedup_stats,
     }
 
 
@@ -956,6 +974,18 @@ def oracle_sql() -> dict[str, str]:
                   FROM comp GROUP BY component)
         SELECT c.id, c.component, s.cluster_size
         FROM comp c JOIN sizes s USING (component)
+    """
+    # survivors oracle: the clusters CTE is the doc_dup_clusters oracle
+    # verbatim (composition cannot drift from the per-op oracle); keep
+    # docs that are not a non-canonical member of any cluster
+    d["doc_cluster_dedup_stats"] = f"""
+        WITH clusters AS ({d["doc_dup_clusters"]})
+        SELECT d.lang, COUNT(*) AS kept_docs,
+               SUM(d.n_chars)::BIGINT AS kept_chars
+        FROM documents d
+        LEFT JOIN clusters c ON d.doc_id = c.id AND c.id <> c.component
+        WHERE c.id IS NULL
+        GROUP BY d.lang
     """
     # contamination oracle compares via the n-gram STRINGS (the Spark side
     # joins on xxhash64 of the same strings; identical counts unless the

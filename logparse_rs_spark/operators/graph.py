@@ -47,21 +47,22 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     labels = labels.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
-        # neighbor-min pass: for each node, the min label among neighbors
+        # neighbor-min pass: for each node, the min label among neighbors.
+        # ONE joined frame per round carries both the old and the new
+        # label; the convergence count then runs over the checkpointed
+        # result instead of re-joining new labels against old (which cost
+        # an extra shuffle per round).
         neigh = (edges.join(labels.withColumnRenamed("id", "b"), on="b")
                  .groupBy(F.col("a").alias("id"))
                  .agg(F.min("label").alias("nlabel")))
-        new_labels = (labels.join(neigh, on="id", how="left")
-                      .select("id",
-                              F.least("label", F.coalesce("nlabel", "label"))
-                              .alias("label")))
+        step = (labels.join(neigh, on="id", how="left")
+                .select("id", "label",
+                        F.least("label", F.coalesce("nlabel", "label"))
+                        .alias("new_label")))
         # truncate lineage each round or the plan grows exponentially
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), on="id")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
-        labels = new_labels
+        step = step.localCheckpoint(eager=True)
+        changed = step.filter(F.col("new_label") != F.col("label")).count()
+        labels = step.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(

@@ -85,3 +85,31 @@ class TestParsedCache:
         from __spark_entry__ import _PARSED_CACHE
         assert any(spark.sparkContext.applicationId == k[0]
                    for k in _PARSED_CACHE)
+
+
+class TestRound3Plans:
+    def test_contamination_broadcasts_eval_side(self, spark, entrymod):
+        """The corpus side must NOT shuffle: eval shingles broadcast,
+        train side stays a map-side hash probe over the scan."""
+        plan = plan_of(entrymod.queries()["doc_contamination"](spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q5_bounded_dims_broadcast_facts_not(self, spark, entrymod):
+        """supplier/nation/region broadcast; customer (O(SF)) must not
+        carry a forced broadcast at scale — it may still be planned as a
+        broadcast at sf0.01 size by AQE, so assert only the hint side:
+        no CartesianProduct, >=3 broadcast joins for the bounded dims."""
+        plan = plan_of(entrymod.queries()["tpch_q5ish"](spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 3
+        assert "CartesianProduct" not in plan
+
+    def test_pii_scrub_stays_in_codegen(self, spark, entrymod):
+        plan = plan_of(entrymod.queries()["log_pii_scrub"](spark, SF))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_vocab_top_uses_take_ordered_and_partial_agg(self, spark,
+                                                         entrymod):
+        plan = plan_of(entrymod.queries()["doc_vocab_top25"](spark, SF))
+        assert "TakeOrderedAndProject" in plan
+        assert "partial_count" in plan or "HashAggregate" in plan
