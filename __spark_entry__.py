@@ -466,6 +466,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy(F.desc("revenue"), F.asc("n_name"))
         )
 
+    def tpch_q18ish(spark, sf_dir):
+        # large-order customers: LEFT SEMI join against a HAVING-filtered
+        # aggregate (the classic q18 shape). The semi join ships only the
+        # qualifying orderkey set; the big fact scan never widens.
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        big = (li.groupBy("l_orderkey")
+               .agg(F.sum("l_quantity").alias("tq"))
+               .filter(F.col("tq") > 150).select("l_orderkey"))
+        return (li.join(big, on="l_orderkey", how="left_semi")
+                .join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+                .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+                .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+                .limit(20))
+
     def doc_dup_clusters(spark, sf_dir):
         # pairs -> GROUPS: transitive closure of the LSH pair graph via
         # iterative min-label propagation (operators/graph.py); checked
@@ -559,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_total": events_running_total,
         "doc_contamination": doc_contamination,
         "doc_cluster_dedup_stats": doc_cluster_dedup_stats,
+        "tpch_q18ish": tpch_q18ish,
     }
 
 
@@ -974,6 +991,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM comp GROUP BY component)
         SELECT c.id, c.component, s.cluster_size
         FROM comp c JOIN sizes s USING (component)
+    """
+    d["tpch_q18ish"] = """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(sum(l_quantity), 2) AS total_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        GROUP BY o_custkey, o_orderkey, o_orderdate
+        ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20
     """
     # survivors oracle: the clusters CTE is the doc_dup_clusters oracle
     # verbatim (composition cannot drift from the per-op oracle); keep
