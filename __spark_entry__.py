@@ -482,15 +482,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
                 .limit(20))
 
+    _comp_cache: dict = {}
+
+    def _doc_components(spark, sf_dir):
+        # the propagation result is a checkpointed frame — compute once
+        # per (session, sf) and share between the cluster-derived queries
+        # (same pattern as the _parsed cache for the 11 log queries)
+        from logparse_rs_spark.operators.dedup import (
+            minhash_lsh_pairs, minhash_signatures)
+        from logparse_rs_spark.operators.graph import connected_components
+        key = (spark.sparkContext.applicationId, _sf_tag(sf_dir))
+        comp = _comp_cache.get(key)
+        if comp is None:
+            sigs = minhash_signatures(_docs(spark, sf_dir), num_perm=64)
+            comp = connected_components(minhash_lsh_pairs(sigs, bands=16))
+            _comp_cache[key] = comp
+        return comp
+
     def doc_dup_clusters(spark, sf_dir):
         # pairs -> GROUPS: transitive closure of the LSH pair graph via
         # iterative min-label propagation (operators/graph.py); checked
         # against a DuckDB RECURSIVE-CTE closure over the same pair set
-        from logparse_rs_spark.operators.dedup import (
-            minhash_lsh_pairs, minhash_signatures)
         from logparse_rs_spark.operators.graph import dup_clusters
-        sigs = minhash_signatures(_docs(spark, sf_dir), num_perm=64)
-        return dup_clusters(minhash_lsh_pairs(sigs, bands=16))
+        return dup_clusters(components=_doc_components(spark, sf_dir))
 
     def doc_contamination(spark, sf_dir):
         # benchmark-decontamination: training docs sharing any 5-gram with
@@ -505,12 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full near-dup dedup ENDGAME: pairs -> transitive clusters ->
         # keep one canonical doc (min id) per cluster -> corpus stats of
         # the survivors. anti-join keeps the corpus scan narrow.
-        from logparse_rs_spark.operators.dedup import (
-            minhash_lsh_pairs, minhash_signatures)
-        from logparse_rs_spark.operators.graph import connected_components
         docs = _docs(spark, sf_dir)
-        sigs = minhash_signatures(docs, num_perm=64)
-        comp = connected_components(minhash_lsh_pairs(sigs, bands=16))
+        comp = _doc_components(spark, sf_dir)
         drop = (comp.filter(F.col("id") != F.col("component"))
                 .select(F.col("id").alias("doc_id")))
         kept = docs.join(drop, on="doc_id", how="left_anti")

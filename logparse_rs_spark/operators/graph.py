@@ -24,6 +24,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,11 +73,20 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         "star-contraction)")
 
 
-def dup_clusters(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
-                 max_iter: int = 20) -> DataFrame:
-    """Per-node duplicate-cluster assignment + cluster size, ordered for
-    deterministic output: (id, component, cluster_size)."""
-    comp = connected_components(pairs, src=src, dst=dst, max_iter=max_iter)
-    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return comp.join(sizes, on="component").select(
+def dup_clusters(pairs: Optional[DataFrame] = None, src: str = "id_a",
+                 dst: str = "id_b", max_iter: int = 20,
+                 components: Optional[DataFrame] = None) -> DataFrame:
+    """Per-node duplicate-cluster assignment + cluster size:
+    (id, component, cluster_size). Pass `components` to reuse an
+    already-computed (id, component) frame — the propagation result is a
+    checkpointed DataFrame, so callers running several cluster-derived
+    queries in one session should compute it once and share it."""
+    if components is None:
+        if pairs is None:
+            raise ValueError("need pairs or components")
+        components = connected_components(pairs, src=src, dst=dst,
+                                          max_iter=max_iter)
+    sizes = components.groupBy("component").agg(
+        F.count("*").alias("cluster_size"))
+    return components.join(sizes, on="component").select(
         "id", "component", "cluster_size")
