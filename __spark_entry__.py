@@ -491,7 +491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from logparse_rs_spark.operators.dedup import (
             minhash_lsh_pairs, minhash_signatures)
         from logparse_rs_spark.operators.graph import connected_components
-        key = (spark.sparkContext.applicationId, _sf_tag(sf_dir))
+        # key on the concrete data path (like _PARSED_CACHE/_dim_cache) —
+        # a tag-based key would alias two different corpora
+        key = (spark.sparkContext.applicationId,
+               f"{sf_dir}/documents.parquet")
         comp = _comp_cache.get(key)
         if comp is None:
             sigs = minhash_signatures(_docs(spark, sf_dir), num_perm=64)
@@ -1059,17 +1062,21 @@ def oracle_sql() -> dict[str, str]:
 
     pages_path, _ = _fixture_paths(ORACLE_SF)
     scrub_expr = "text"
-    count_exprs = []
     for kind in sorted(PII_PATTERNS):
         pat = PII_PATTERNS[kind].replace("'", "''")
-        count_exprs.append(
-            f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{kind}")
         scrub_expr = (f"regexp_replace({scrub_expr}, '{pat}', "
                       f"'<{kind.upper()}>', 'g')")
+    count_exprs = [
+        f"(len(string_split(scrubbed, '<{kind.upper()}>')) - 1)::BIGINT"
+        f" AS n_{kind}"
+        for kind in sorted(PII_PATTERNS)
+    ]
     d["log_pii_scrub"] = f"""
+        WITH s AS (SELECT url, {scrub_expr} AS scrubbed
+                   FROM read_parquet('{pages_path}'))
         SELECT url, {', '.join(count_exprs)},
-               length({scrub_expr}) AS scrubbed_len
-        FROM read_parquet('{pages_path}')
+               length(scrubbed) AS scrubbed_len
+        FROM s
     """
     # composed text near-dup oracle: minhash banding CTE + exact 3-gram
     # jaccard verify, both already proven by their standalone oracles

@@ -204,12 +204,18 @@ def main() -> None:
     if scratch:
         for stale in (glob.glob(os.path.join(scratch, "bench_pipe_*"))
                       + glob.glob(os.path.join(scratch, "bench_local_*"))):
-            # bench_pipe_<pid>_<rand> / bench_local_<pid>: field 2 = pid
+            # bench_pipe_<pid>_<rand> / bench_local_<pid>: field 2 = pid.
+            # os.kill(pid, 0) probes liveness portably (no procfs needed);
+            # PermissionError means the pid exists under another user ->
+            # treat as alive. Residual pid-reuse risk only delays a reap.
             parts = os.path.basename(stale).split("_")
             try:
-                alive = os.path.exists(f"/proc/{int(parts[2])}")
-            except (IndexError, ValueError):
-                alive = False  # pre-pid naming scheme -> safe to reap
+                os.kill(int(parts[2]), 0)
+                alive = True
+            except (IndexError, ValueError, ProcessLookupError):
+                alive = False  # bad/old name or dead owner -> reap
+            except PermissionError:
+                alive = True
             if not alive:
                 shutil.rmtree(stale, ignore_errors=True)
 

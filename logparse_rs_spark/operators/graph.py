@@ -44,6 +44,10 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
              .union(pairs.select(F.col(dst).cast("long").alias("a"),
                                  F.col(src).cast("long").alias("b")))
              .distinct())
+    # materialize the edge set ONCE: every round's actions re-execute the
+    # edges lineage otherwise — for LSH pair graphs that lineage is the
+    # whole signature + banding computation, recomputed per round
+    edges = edges.localCheckpoint(eager=True)
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     labels = labels.localCheckpoint(eager=True)

@@ -140,13 +140,21 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
     patterns = PII_PATTERNS if patterns is None else patterns
     text = F.col(text_col)
     scrubbed = text
-    counts = []
     for kind in sorted(patterns):
-        pat = patterns[kind]
-        counts.append(
-            F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
-            .cast("long").alias(f"n_{kind}"))
-        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+        scrubbed = F.regexp_replace(scrubbed, patterns[kind],
+                                    f"<{kind.upper()}>")
+    # counts = placeholder occurrences in the scrubbed text (a literal
+    # split, not a second regex pass over the raw text — the regex
+    # replaces are the unavoidable cost, everything else is cheap).
+    # Placeholders contain no digits/@, so later patterns cannot match
+    # inside earlier replacements; a raw input already containing a
+    # literal placeholder token would inflate its count — acceptable for
+    # a redaction REPORT (the scrub itself is unaffected).
+    counts = [
+        (F.size(F.split(scrubbed, f"<{kind.upper()}>", -1)) - 1)
+        .cast("long").alias(f"n_{kind}")
+        for kind in sorted(patterns)
+    ]
     return docs.select(F.col(id_col), *counts,
                        F.length(scrubbed).alias("scrubbed_len"))
 
@@ -250,9 +258,7 @@ def fingerprint_sample(docs: DataFrame, modulus: int = 20, keep: int = 0,
         fp = fnv1a_col(norm)
     else:
         fp = F.xxhash64(norm)
-    return (docs.withColumn("_fp", fp)
-            .filter(F.pmod(F.col("_fp"), F.lit(modulus)) == F.lit(keep))
-            .drop("_fp"))
+    return docs.filter(F.pmod(fp, F.lit(modulus)) == F.lit(keep))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",
