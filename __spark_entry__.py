@@ -466,6 +466,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy(F.desc("revenue"), F.asc("n_name"))
         )
 
+    def doc_lang_rebalance(spark, sf_dir):
+        # data-mixing cap: at most 30 docs per language, survivors chosen
+        # by content-fingerprint order (deterministic + unbiased); oracle
+        # ranks by the refimpl FNV parquet
+        from logparse_rs_spark.operators.text import rebalance_by_group
+        kept = rebalance_by_group(_docs(spark, sf_dir), group_col="lang",
+                                  quota=30, exact_fnv=True)
+        return (kept.groupBy("lang")
+                .agg(F.count("*").alias("kept_docs"),
+                     F.sum("n_chars").alias("kept_chars")))
+
     def tpch_q18ish(spark, sf_dir):
         # large-order customers: LEFT SEMI join against a HAVING-filtered
         # aggregate (the classic q18 shape). The semi join ships only the
@@ -589,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": doc_contamination,
         "doc_cluster_dedup_stats": doc_cluster_dedup_stats,
         "tpch_q18ish": tpch_q18ish,
+        "doc_lang_rebalance": doc_lang_rebalance,
     }
 
 
@@ -1004,6 +1016,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM comp GROUP BY component)
         SELECT c.id, c.component, s.cluster_size
         FROM comp c JOIN sizes s USING (component)
+    """
+    d["doc_lang_rebalance"] = f"""
+        WITH r AS (
+          SELECT d.lang, d.n_chars,
+                 row_number() OVER (PARTITION BY d.lang
+                                    ORDER BY a.fingerprint, d.doc_id) AS rn
+          FROM documents d JOIN {DOC_AUX} a ON d.doc_id = a.doc_id)
+        SELECT lang, COUNT(*) AS kept_docs,
+               SUM(n_chars)::BIGINT AS kept_chars
+        FROM r WHERE rn <= 30 GROUP BY lang
     """
     d["tpch_q18ish"] = """
         SELECT o_custkey, o_orderkey, o_orderdate,

@@ -205,6 +205,39 @@ def repeated_ngrams(docs: DataFrame, n: int = 5, k: int = 20,
             .orderBy(F.desc("n"), F.asc("ngram")).limit(k))
 
 
+def rebalance_by_group(docs: DataFrame, group_col: str = "lang",
+                       quota: int = 1000, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       exact_fnv: bool = False) -> DataFrame:
+    """Per-group quota cap — the data-mixing step of corpus assembly
+    (e.g. at most N documents per language/source so one stratum cannot
+    dominate the training mix). Which documents survive is decided by
+    content-fingerprint order: deterministic, partitioning-independent,
+    and unbiased by input order (row_number over arrival order would keep
+    whatever happened to be first).
+
+    Scale shape: one shuffle on the group key + an in-partition sort —
+    rank-within-group is a window, and a skewed group (one giant
+    language) sorts within its own partitions; for quotas ≪ group size a
+    cheaper two-phase top-K per group (partial per-partition top-K, then
+    merge) is the swap-in, same semantics."""
+    from pyspark.sql import Window
+
+    from .dedup import normalized_text
+
+    norm = normalized_text(F.col(text_col))
+    if exact_fnv:
+        from ..functions import fnv1a_col
+        fp = fnv1a_col(norm)
+    else:
+        fp = F.xxhash64(norm)
+    w = Window.partitionBy(group_col).orderBy(F.col("_ord"), F.col(id_col))
+    return (docs.withColumn("_ord", fp)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= quota)
+            .drop("_ord", "_rn"))
+
+
 def contamination_check(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

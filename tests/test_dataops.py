@@ -595,3 +595,25 @@ class TestContamination:
         out = contamination_check(train, evals, n=5).collect()
         assert len(out) == 1
         assert out[0]["shared_ngrams"] == 1  # distinct per doc, not 3
+
+
+class TestRebalance:
+    def test_quota_and_determinism(self, spark, docs):
+        from logparse_rs_spark.operators.text import rebalance_by_group
+        kept = rebalance_by_group(docs, group_col="lang", quota=5)
+        per = {r["lang"]: r["n"] for r in
+               kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        totals = {r["lang"]: r["n"] for r in
+                  docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        for lang, n in per.items():
+            assert n == min(5, totals[lang])
+        a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+        b = sorted(r["doc_id"] for r in
+                   rebalance_by_group(docs.repartition(7), "lang", quota=5)
+                   .select("doc_id").collect())
+        assert a == b  # survivor set independent of input partitioning
+
+    def test_columns_preserved(self, spark, docs):
+        from logparse_rs_spark.operators.text import rebalance_by_group
+        kept = rebalance_by_group(docs, group_col="lang", quota=3)
+        assert kept.columns == docs.columns
