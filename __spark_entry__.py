@@ -509,13 +509,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         comp = _comp_cache.get(key)
         if comp is None:
             sigs = minhash_signatures(_docs(spark, sf_dir), num_perm=64)
-            comp = connected_components(minhash_lsh_pairs(sigs, bands=16))
+            # star contraction (O(log n) rounds on any graph shape) is the
+            # at-scale path; the driver oracle therefore exercises it
+            comp = connected_components(minhash_lsh_pairs(sigs, bands=16),
+                                        algorithm="star")
             _comp_cache[key] = comp
         return comp
 
     def doc_dup_clusters(spark, sf_dir):
         # pairs -> GROUPS: transitive closure of the LSH pair graph via
-        # iterative min-label propagation (operators/graph.py); checked
+        # large/small-star contraction (operators/graph.py); checked
         # against a DuckDB RECURSIVE-CTE closure over the same pair set
         from logparse_rs_spark.operators.graph import dup_clusters
         return dup_clusters(components=_doc_components(spark, sf_dir))
@@ -542,17 +545,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("kept_docs"),
                      F.sum("n_chars").alias("kept_chars")))
 
+    _stream_dedup_seq = [0]
+
+    def doc_streaming_exact_dedup(spark, sf_dir):
+        # the STREAMING exact-dedup operator (applyInPandasWithState) run
+        # to batch equivalence: documents split into ascending-doc_id
+        # micro-batch files (so the first batch containing a text holds
+        # its global min id and the streaming survivor set equals the
+        # batch exact_dedup answer), fed through availableNow triggers,
+        # survivors collected from the memory sink.
+        import glob as _glob
+        import shutil as _shutil
+
+        from logparse_rs_spark.streaming.stateful import (
+            streaming_exact_dedup)
+
+        tag = _sf_tag(sf_dir)
+        src = os.path.join(FIXTURE_ROOT, f"docstream_{tag}")
+        if not os.path.isdir(src) or not _glob.glob(
+                os.path.join(src, "b*.parquet")):
+            docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                    .select("doc_id", "text"))
+            n = docs.count()
+            os.makedirs(src, exist_ok=True)
+            for b in range(4):
+                lo, hi = b * n // 4, (b + 1) * n // 4
+                part_dir = os.path.join(src, f"_tmp_b{b}")
+                (docs.filter((F.col("doc_id") >= lo)
+                             & (F.col("doc_id") < hi) if b < 3
+                             else (F.col("doc_id") >= lo))
+                 .coalesce(1).write.mode("overwrite").parquet(part_dir))
+                part = _glob.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+                dest = os.path.join(src, f"b{b}.parquet")
+                _shutil.move(part, dest)
+                _shutil.rmtree(part_dir, ignore_errors=True)
+                # the file source triggers oldest-mtime-first: pin the
+                # batch order to the id order explicitly
+                os.utime(dest, (1_000_000_000 + b, 1_000_000_000 + b))
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        _stream_dedup_seq[0] += 1
+        name = f"dedup_feed_{_stream_dedup_seq[0]}"
+        q = (streaming_exact_dedup(stream).writeStream
+             .outputMode("append").format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.table(name).select("doc_id")
+
     def events_running_total(spark, sf_dir):
         # per-user running purchase total in exact integer cents (floats
         # would tie the answer to each engine's window-sum association
-        # order); ordered window + unbounded-preceding frame
+        # order); ordered window + unbounded-preceding frame. ts is emitted
+        # as epoch MICROSECONDS (BIGINT) so no engine-side timestamp
+        # rendering/normalization can differ between Spark and the oracle
+        # (r3 verdict item 1: the raw-timestamp surface was the only
+        # plausible source of the driver-only hash mismatch). ts is
+        # TIMESTAMP_NTZ, so the conversion uses timestampdiff against an
+        # NTZ epoch literal — independent of the session timezone (a cast
+        # through TIMESTAMP_LTZ would shift under a non-UTC driver session).
         from pyspark.sql import Window
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
         return (ev.filter(F.col("event_type") == "purchase")
-                .select("event_id", "user_id", "ts",
+                .select("event_id", "user_id", ts_us.alias("ts_us"),
                         F.sum(cents).over(w).alias("running_cents")))
 
     return {
@@ -596,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repeated_5grams": doc_repeated_5grams,
         "tpch_q5ish": tpch_q5ish,
         "doc_dup_clusters": doc_dup_clusters,
+        "doc_streaming_exact_dedup": doc_streaming_exact_dedup,
         "events_running_total": events_running_total,
         "doc_contamination": doc_contamination,
         "doc_cluster_dedup_stats": doc_cluster_dedup_stats,
@@ -619,6 +679,12 @@ def oracle_sql() -> dict[str, str]:
     # only the fields the sample anonymizer config actively transforms appear
     # in the integrity table (rule_name/source_user are NOT matched by the
     # config's 'rule'/'user' keys -> passthrough, never recorded)
+    # whitespace spelled as an explicit character class on BOTH sides (the
+    # operators use the same constants) — Java \s and RE2 \s disagree on
+    # \x0B, so \s in an oracle is a latent tokenizer mismatch (ADVICE r3)
+    from logparse_rs_spark.operators.dedup import (
+        WORD_SPLIT_CLASS as WSP, WS_CHARS)
+    SYMCLS = f"[A-Za-z0-9{WS_CHARS}]"
     integrity_union = " UNION ALL ".join(
         f"SELECT '{d}' AS field, {d} AS original, {d}_anon AS replacement "
         f"FROM {E} WHERE status='ok' AND log_type='TRAFFIC' AND {d} IS NOT NULL"
@@ -685,19 +751,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT log_type AS f3, COUNT(*) AS n FROM {E}
             WHERE status = 'ok' GROUP BY log_type
         """,
-        "doc_exact_dedup": r"""
+        "doc_exact_dedup": f"""
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
             FROM documents
-            GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+            GROUP BY trim(regexp_replace(lower(text), '{WSP}', ' ', 'g'))
         """,
-        "doc_quality": r"""
+        "doc_quality": f"""
             WITH f AS (
               SELECT doc_id,
                      length(text) AS n_chars,
                      length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
                      length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
                      CASE WHEN trim(text) = '' THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+                          ELSE len(string_split_regex(trim(text), '{WSP}')) END AS n_words,
                      ' ' || lower(text) || ' ' AS p
               FROM documents),
             r AS (
@@ -721,20 +787,20 @@ def oracle_sql() -> dict[str, str]:
                          + 0.1*(1.0 - least(punct_ratio*10.0, 1.0)), 6) AS quality
             FROM r
         """,
-        "doc_token_counts": r"""
+        "doc_token_counts": f"""
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+                        ELSE len(string_split_regex(trim(text), '{WSP}')) END AS ws_tokens,
                    CASE WHEN trim(text) = '' THEN 0 ELSE
                      len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
                                      x -> x <> '')) END::BIGINT AS alnum_runs,
-                   length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::BIGINT
+                   length(regexp_replace(text, '{SYMCLS}', '', 'g'))::BIGINT
                      AS symbol_chars,
                    (CASE WHEN trim(text) = '' THEN 0 ELSE
                       len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'),
                                       x -> x <> '')) END
                     + floor((length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) + 3) / 4)
-                    + length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                    + length(regexp_replace(text, '{SYMCLS}', '', 'g'))
                    )::BIGINT AS bpe_token_est
             FROM documents
         """,
@@ -759,9 +825,9 @@ def oracle_sql() -> dict[str, str]:
                    greatest(s_en,s_de,s_fr,s_es) AS lang_score
             FROM sc
         """,
-        "doc_ngram_jaccard": r"""
+        "doc_ngram_jaccard": f"""
             WITH n AS (SELECT doc_id,
-                              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                              trim(regexp_replace(lower(text), '{WSP}', ' ', 'g')) AS t
                        FROM documents WHERE doc_id < 6),
             g AS (SELECT doc_id,
                          CASE WHEN length(t) >= 3 THEN
@@ -959,17 +1025,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE ((a.fingerprint % 20) + 20) % 20 = 0
             GROUP BY d.lang
         """,
-        "doc_vocab_top25": r"""
+        "doc_vocab_top25": f"""
             SELECT token, COUNT(*) AS n FROM (
               SELECT unnest(list_filter(
-                       string_split_regex(lower(text), '\s+'),
+                       string_split_regex(lower(text), '{WSP}'),
                        x -> x <> '')) AS token
               FROM documents)
             GROUP BY token ORDER BY n DESC, token ASC LIMIT 25
         """,
-        "doc_repeated_5grams": r"""
+        "doc_repeated_5grams": f"""
             WITH w AS (
-              SELECT list_filter(string_split_regex(lower(text), '\s+'),
+              SELECT list_filter(string_split_regex(lower(text), '{WSP}'),
                                  x -> x <> '') AS ws
               FROM documents),
             s AS (
@@ -1053,7 +1119,7 @@ def oracle_sql() -> dict[str, str]:
     # joins on xxhash64 of the same strings; identical counts unless the
     # 64-bit hash collides within the ~25k-shingle fixture — vanishingly
     # unlikely, and a collision would surface as a hash-compare mismatch)
-    d["doc_contamination"] = r"""
+    d["doc_contamination"] = f"""
         WITH w AS (
           SELECT doc_id,
                  list_distinct(CASE WHEN len(ws) >= 5 THEN
@@ -1061,7 +1127,7 @@ def oracle_sql() -> dict[str, str]:
                      i -> array_to_string(list_slice(ws, i, i + 4), ' '))
                  ELSE []::VARCHAR[] END) AS gs
           FROM (SELECT doc_id,
-                       list_filter(string_split_regex(lower(text), '\s+'),
+                       list_filter(string_split_regex(lower(text), '{WSP}'),
                                    x -> x <> '') AS ws
                 FROM documents)),
         t AS (SELECT doc_id, unnest(gs) AS g FROM w WHERE doc_id >= 25),
@@ -1070,8 +1136,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.doc_id, e.eval_id, COUNT(*) AS shared_ngrams
         FROM t JOIN e USING (g) GROUP BY t.doc_id, e.eval_id
     """
+    # streaming exact-dedup, batch-equivalence form: ascending-id
+    # micro-batches make the streaming survivor set equal the batch
+    # min-id-per-distinct-normalized-text answer
+    d["doc_streaming_exact_dedup"] = f"""
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        GROUP BY trim(regexp_replace(lower(text), '{WSP}', ' ', 'g'))
+    """
     d["events_running_total"] = """
-        SELECT event_id, user_id, ts,
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS running_cents
@@ -1105,7 +1178,7 @@ def oracle_sql() -> dict[str, str]:
     d["doc_text_neardup_verified"] = f"""
         WITH cand AS ({d["doc_minhash_pairs"]}),
         n AS (SELECT doc_id,
-                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                     trim(regexp_replace(lower(text), '{WSP}', ' ', 'g')) AS t
               FROM documents),
         g AS (SELECT doc_id,
                      CASE WHEN length(t) >= 3 THEN
@@ -1133,7 +1206,7 @@ def oracle_sql() -> dict[str, str]:
              canon AS (
                SELECT min(doc_id) AS doc_id FROM (
                  SELECT doc_id,
-                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+                        trim(regexp_replace(lower(text), '{WSP}', ' ', 'g')) AS nt
                  FROM documents)
                GROUP BY nt)
         SELECT d.lang, COUNT(*) AS docs,

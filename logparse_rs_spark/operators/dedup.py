@@ -41,10 +41,19 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
+# whitespace spelled as an EXPLICIT character class, shared by every text
+# operator AND interpolated into the DuckDB oracle SQL: Java's \s and
+# RE2's \s disagree on \x0B (vertical tab), so \s in an operator/oracle
+# pair is a latent mismatch — the explicit class is byte-identical in
+# both engines by construction
+WS_CHARS = " \\t\\n\\r\\f\\x0B"
+WORD_SPLIT_CLASS = f"[{WS_CHARS}]+"
+
+
 def normalized_text(col) -> F.Column:
     """Canonical text normalization for dedup keys: lowercase, collapse
     whitespace, trim — all JVM-side."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), WORD_SPLIT_CLASS, " "))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text",

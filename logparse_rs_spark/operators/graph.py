@@ -2,24 +2,32 @@
 near-duplicate dedup pipeline (LSH/verify emits PAIRS; keeping one canonical
 document per duplicate GROUP needs the transitive closure of those pairs).
 
-Spark-first form: iterative min-label propagation as pure DataFrame ops.
-Every node starts labeled with itself; each round every node takes the min
-of its own label and its neighbors' labels; fixpoint = component id is the
-min node id of the component. Rounds needed = graph diameter, and near-dup
-graphs are unions of small dense cliques (docs duplicating each other),
-so 2-4 rounds close real corpora.
+Two Spark-first algorithms, selectable per call:
+
+- ``algorithm="label"``: iterative min-label propagation as pure DataFrame
+  ops. Every node starts labeled with itself; each round every node takes
+  the min of its own label and its neighbors' labels; fixpoint = component
+  id is the min node id of the component. Rounds needed = graph diameter —
+  the right form for duplicate clusters, which are unions of small dense
+  cliques (docs duplicating each other; diameter 2-4).
+
+- ``algorithm="star"``: alternating large-star / small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14). Converges in O(log n) rounds regardless of diameter, so it is
+  the 10^12-node form — a path graph that label propagation cannot close
+  in bounded rounds contracts in ~log2(n) passes. Each pass is the same
+  per-round primitive class as a label round: groupBy-min on the node key
+  + one join — narrow (long, long) shuffles only.
 
 Scale notes:
-- each round is one join edges->labels + one groupBy-min + one equality
-  anti-check; all on (long, long) frames — narrow shuffles on the id key.
-- convergence is checked with a count() action per round (iterative
-  algorithms need a driver decision point; the frames counted are
-  label-sized, not edge-sized).
-- at 10^12-node scale you would switch to alternating large/small-star
-  contraction (Kiveris et al., "Connected Components in MapReduce and
-  Beyond") which converges in O(log n) rounds with the same per-round
-  primitives; min-label propagation is the right form for duplicate
-  clusters whose diameter is tiny, and the round primitives are identical.
+- convergence is checked with one small agg action per round (iterative
+  algorithms need a driver decision point; the frames aggregated are
+  label/edge-id-sized, not payload-sized).
+- lineage is truncated per round through ``_truncate``: a RELIABLE
+  checkpoint (``df.checkpoint``) whenever the session has a checkpoint dir
+  configured (``spark.sparkContext.setCheckpointDir`` — survives executor
+  loss on a real cluster), falling back to ``localCheckpoint`` otherwise
+  (fine single-node / in tests, fragile to executor loss on a cluster).
 """
 
 from __future__ import annotations
@@ -30,15 +38,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncate(df: DataFrame) -> DataFrame:
+    """Cut lineage between rounds (iterative plans grow exponentially
+    otherwise). Reliable checkpoint when the session configured a
+    checkpoint dir; localCheckpoint as the single-node fallback."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 20,
+                         algorithm: str = "label") -> DataFrame:
     """Return (id, component) for every node appearing in `pairs`, where
     component = min node id reachable through the pair graph.
 
     Deterministic: depends only on the edge SET, not on partitioning or
     input order. Raises if the graph has not converged after max_iter
-    rounds (diameter > max_iter) instead of returning a wrong clustering.
+    rounds instead of returning a wrong clustering. ``algorithm="star"``
+    needs only O(log n) rounds on ANY graph shape; ``"label"`` needs
+    diameter rounds (cheaper per round on tiny-diameter dup cliques).
     """
+    if algorithm == "star":
+        return _components_star(pairs, src, dst, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (pairs.select(F.col(src).cast("long").alias("a"),
                           F.col(dst).cast("long").alias("b"))
              .union(pairs.select(F.col(dst).cast("long").alias("a"),
@@ -47,10 +72,10 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     # materialize the edge set ONCE: every round's actions re-execute the
     # edges lineage otherwise — for LSH pair graphs that lineage is the
     # whole signature + banding computation, recomputed per round
-    edges = edges.localCheckpoint(eager=True)
+    edges = _truncate(edges)
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("label", F.col("id")))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _truncate(labels)
 
     for _ in range(max_iter):
         # neighbor-min pass: for each node, the min label among neighbors.
@@ -66,20 +91,91 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                         F.least("label", F.coalesce("nlabel", "label"))
                         .alias("new_label")))
         # truncate lineage each round or the plan grows exponentially
-        step = step.localCheckpoint(eager=True)
+        step = _truncate(step)
         changed = step.filter(F.col("new_label") != F.col("label")).count()
         labels = step.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             return labels.select("id", F.col("label").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
-        "(graph diameter too large — raise max_iter or switch to "
-        "star-contraction)")
+        "(graph diameter too large — raise max_iter or use "
+        'algorithm="star")')
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star: for each node u, connect every strictly
+    LARGER neighbor to m = min(N(u) ∪ {u}). Input/output: canonical
+    directed edge set (a > b), distinct, no self-loops."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = (sym.groupBy("a").agg(F.min("b").alias("mn"))
+            .select("a", F.least("a", "mn").alias("m")))
+    return (sym.join(mins, on="a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Kiveris et al. small-star: for each node u over its SMALLER
+    neighbors N (the canonical direction already stores exactly those),
+    connect every v ∈ N ∪ {u} to m = min(N). Keeps canonical a > b."""
+    mins = e.groupBy("a").agg(F.min("b").alias("m"))
+    j = e.join(mins, on="a")
+    return (j.select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def _edge_fingerprint(e: DataFrame):
+    """Order-insensitive edge-set fingerprint for the convergence check:
+    count plus two independent 64-bit hash sums — one narrow agg action,
+    no extra shuffle of the edge set (vs an exceptAll diff per round)."""
+    # decimal(38,0) accumulator: a long sum of 64-bit hashes overflows
+    # under ANSI mode (Spark 4 default)
+    row = e.agg(F.count("*").alias("n"),
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h1"),
+                F.sum(F.xxhash64("b", "a").cast("decimal(38,0)")).alias("h2")
+                ).first()
+    return (row["n"], row["h1"], row["h2"])
+
+
+def _components_star(pairs: DataFrame, src: str, dst: str,
+                     max_iter: int) -> DataFrame:
+    nodes = (pairs.select(F.col(src).cast("long").alias("id"))
+             .union(pairs.select(F.col(dst).cast("long").alias("id")))
+             .distinct())
+    nodes = _truncate(nodes)
+    e = (pairs.select(
+            F.greatest(F.col(src).cast("long"),
+                       F.col(dst).cast("long")).alias("a"),
+            F.least(F.col(src).cast("long"),
+                    F.col(dst).cast("long")).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct())
+    e = _truncate(e)
+    fp = _edge_fingerprint(e)
+    for _ in range(max_iter):
+        e = _truncate(_small_star(_large_star(e)))
+        nfp = _edge_fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds")
+    # fixpoint edge set is one star per component: (v, component_min).
+    # Roots and input-isolated nodes (self-pair-only) label themselves.
+    stars = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    return (nodes.join(stars, on="id", how="left")
+            .select("id", F.coalesce("component", "id").alias("component")))
 
 
 def dup_clusters(pairs: Optional[DataFrame] = None, src: str = "id_a",
                  dst: str = "id_b", max_iter: int = 20,
-                 components: Optional[DataFrame] = None) -> DataFrame:
+                 components: Optional[DataFrame] = None,
+                 algorithm: str = "label") -> DataFrame:
     """Per-node duplicate-cluster assignment + cluster size:
     (id, component, cluster_size). Pass `components` to reuse an
     already-computed (id, component) frame — the propagation result is a
@@ -89,7 +185,8 @@ def dup_clusters(pairs: Optional[DataFrame] = None, src: str = "id_a",
         if pairs is None:
             raise ValueError("need pairs or components")
         components = connected_components(pairs, src=src, dst=dst,
-                                          max_iter=max_iter)
+                                          max_iter=max_iter,
+                                          algorithm=algorithm)
     sizes = components.groupBy("component").agg(
         F.count("*").alias("cluster_size"))
     return components.join(sizes, on="component").select(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import WORD_SPLIT_CLASS, WS_CHARS
+
 # tiny fixed stopword list — deterministic and SQL-replicable
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
@@ -71,7 +73,7 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     n_chars = F.length(text)
     n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
-    words = F.split(F.trim(text), r"\s+")
+    words = F.split(F.trim(text), WORD_SPLIT_CLASS)
     n_words = F.when(F.trim(text) == "", 0).otherwise(F.size(words))
     padded = _padded(text)
     stop_hits = sum(
@@ -103,8 +105,8 @@ def token_counts(docs: DataFrame, text_col: str = "text",
     text = F.col(text_col)
     trimmed = F.trim(text)
     ws_tokens = F.when(trimmed == "", 0).otherwise(
-        F.size(F.split(trimmed, r"\s+")))
-    n_sym = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+        F.size(F.split(trimmed, WORD_SPLIT_CLASS)))
+    n_sym = F.length(F.regexp_replace(text, f"[A-Za-z0-9{WS_CHARS}]", ""))
     alnum_chars = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
     alnum_runs = F.when(trimmed == "", 0).otherwise(
         F.size(F.filter(F.split(text, r"[^A-Za-z0-9]+"),
@@ -120,12 +122,33 @@ def token_counts(docs: DataFrame, text_col: str = "text",
 
 
 # conservative, RE2-and-Java-compatible PII patterns (no \b, no lookarounds
-# — both engines must agree byte-for-byte for the oracle to hold)
+# — both engines must agree byte-for-byte for the oracle to hold). Kind
+# names must yield DIGIT-FREE placeholders ("ip", not "ipv4") so a later
+# pattern can never match inside an earlier replacement; the import-time
+# assertion below enforces it against every pattern, current and future.
 PII_PATTERNS = {
-    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "ip": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]?\d{0,4}",
 }
+
+
+def _assert_placeholders_inert(patterns: dict) -> None:
+    """Fail at import if any pattern could match inside (or overlapping
+    into) a placeholder emitted by an earlier-applied pattern — the
+    invariant that makes the sequential regexp_replace chain order-safe."""
+    import re
+    kinds = sorted(patterns)
+    for i, earlier in enumerate(kinds):
+        placeholder = f"<{earlier.upper()}>"
+        for later in kinds[i + 1:]:
+            if re.search(patterns[later], placeholder):
+                raise AssertionError(
+                    f"PII placeholder {placeholder} matches later pattern "
+                    f"{later!r}; rename the kind or reorder the patterns")
+
+
+_assert_placeholders_inert(PII_PATTERNS)
 
 
 def pii_scrub(docs: DataFrame, text_col: str = "text",
@@ -137,7 +160,10 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
     on the scan. (The log pipeline's keyed-hash anonymizer is the
     REVERSIBLE-mapping path; this is the destructive scrub used before
     publishing a training corpus.)"""
-    patterns = PII_PATTERNS if patterns is None else patterns
+    if patterns is None:
+        patterns = PII_PATTERNS
+    else:
+        _assert_placeholders_inert(patterns)
     text = F.col(text_col)
     scrubbed = text
     for kind in sorted(patterns):
@@ -146,8 +172,8 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
     # counts = placeholder occurrences in the scrubbed text (a literal
     # split, not a second regex pass over the raw text — the regex
     # replaces are the unavoidable cost, everything else is cheap).
-    # Placeholders contain no digits/@, so later patterns cannot match
-    # inside earlier replacements; a raw input already containing a
+    # _assert_placeholders_inert guarantees no later pattern can match
+    # inside an earlier replacement; a raw input already containing a
     # literal placeholder token would inflate its count — acceptable for
     # a redaction REPORT (the scrub itself is unaffected).
     counts = [
@@ -160,9 +186,10 @@ def pii_scrub(docs: DataFrame, text_col: str = "text",
 
 
 def _words(text_col) -> F.Column:
-    """Lowercased whitespace tokens, empties dropped (split on '\\s+'
-    emits a leading '' for leading whitespace)."""
-    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda x: x != "")
+    """Lowercased whitespace tokens, empties dropped (the split emits a
+    leading '' for leading whitespace)."""
+    return F.filter(F.split(F.lower(text_col), WORD_SPLIT_CLASS),
+                    lambda x: x != "")
 
 
 def vocab_top(docs: DataFrame, k: int = 25,
@@ -216,11 +243,17 @@ def rebalance_by_group(docs: DataFrame, group_col: str = "lang",
     and unbiased by input order (row_number over arrival order would keep
     whatever happened to be first).
 
-    Scale shape: one shuffle on the group key + an in-partition sort —
-    rank-within-group is a window, and a skewed group (one giant
-    language) sorts within its own partitions; for quotas ≪ group size a
-    cheaper two-phase top-K per group (partial per-partition top-K, then
-    merge) is the swap-in, same semantics."""
+    Scale shape: this IS executed as a TWO-PHASE per-group top-K —
+    Catalyst's rank-limit pushdown (SPARK-37099, the WindowGroupLimit
+    physical operator) rewrites `row_number() <= quota` into a PARTIAL
+    per-source-partition top-quota BEFORE the shuffle plus a FINAL
+    group-level trim after it, so a skewed giant group (quota ≪ group
+    size) never sorts in full on one reducer: the shuffle carries at most
+    quota x n_map_partitions rows per group. tests pin the
+    `WindowGroupLimit ... Partial` node below the Exchange — a
+    hand-written two-phase (rank within (group, partition-id) cells, then
+    merge) produced the identical candidate flow with one EXTRA shuffle,
+    so the declarative form wins."""
     from pyspark.sql import Window
 
     from .dedup import normalized_text

@@ -109,6 +109,19 @@ def get_spark(app_name: str = "logparse_rs_spark", cores: int | None = None,
             .config("spark.executorEnv.PYTHONPATH", repo_root)
             .config("spark.driver.memory",
                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+            # same GC/heap discipline as the driver in local mode: G1 with
+            # a pinned heap (heap-resize page churn is expensive under this
+            # virtualized kernel, BENCH/NOTES.md §6)
+            .config("spark.executor.extraJavaOptions",
+                    os.environ.get("SPARK_GRAFT_EXECUTOR_JAVA_OPTS",
+                                   "-XX:+UseG1GC"))
+            # local[] runs everything PROCESS_LOCAL so locality wait never
+            # fires; with separate executor JVMs the default 3 s delay
+            # scheduling adds up to seconds of idle per stage on a
+            # single-host "cluster" where every executor is equally close —
+            # disable it (on a real multi-rack cluster you would keep it)
+            .config("spark.locality.wait",
+                    os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "0"))
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -53,7 +53,7 @@ NEW_VALUES_OUTPUT = T.StructType([
     T.StructField("replacement", T.StringType()),
 ])
 NEW_VALUES_STATE = T.StructType([
-    T.StructField("seen", T.ArrayType(T.StringType())),
+    T.StructField("seen", T.ArrayType(T.LongType())),
 ])
 
 
@@ -61,19 +61,28 @@ def streaming_integrity_feed(pairs_stream: DataFrame) -> DataFrame:
     """Incremental integrity-table feed: input stream of already-computed
     (field, original, replacement) rows (e.g. from the anonymize expressions
     over a parsed stream); emits each distinct (field, original) exactly once
-    across the stream's lifetime. State per field = seen originals.
+    across the stream's lifetime. State per field = 64-bit FNV-1a HASHES of
+    the seen originals, not the strings themselves — same dedup semantics
+    (a collision within one field's value set is a ~2^-64-per-pair event;
+    the batch integrity table remains the exact reconciliation path), an
+    ~8-byte-per-value checkpoint instead of the full original.
 
     At 10^12 scale the state per field is bounded by the field's value
     cardinality — the same bound the reference's in-memory memo has
     (table.rs:8), but partitioned by field across executors and checkpointed.
     """
+    from ..kernels import fnv1a_series_signed
+
     def update(key, pdfs, state: GroupState):
         seen = set(state.get[0]) if state.exists else set()
         out_orig, out_repl = [], []
         for p in pdfs:
-            for o, r in zip(p["original"], p["replacement"]):
-                if o is not None and o not in seen:
-                    seen.add(o)
+            if not len(p):
+                continue
+            hashes = fnv1a_series_signed(p["original"])
+            for o, r, h in zip(p["original"], p["replacement"], hashes):
+                if o is not None and int(h) not in seen:
+                    seen.add(int(h))
                     out_orig.append(o)
                     out_repl.append(r)
         state.update((list(seen),))

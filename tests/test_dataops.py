@@ -432,9 +432,9 @@ class TestPiiScrub:
         }))
         got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
         assert got[1]["n_email"] == 1
-        assert got[1]["n_ipv4"] == 2
+        assert got[1]["n_ip"] == 2
         assert got[2]["n_phone"] == 1
-        assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
+        assert got[3]["n_email"] == got[3]["n_ip"] == got[3]["n_phone"] == 0
         # scrubbed length equals python re.sub applied in the same order
         import re
         from logparse_rs_spark.operators.text import PII_PATTERNS
@@ -558,6 +558,66 @@ class TestDupClusters:
         with __import__("pytest").raises(RuntimeError, match="converge"):
             connected_components(df, max_iter=2)
 
+    def test_star_equals_label_random(self, spark):
+        # property: both algorithms must produce the identical component
+        # map on random graphs (several densities/seeds)
+        import numpy as np
+        import pandas as pd
+        from logparse_rs_spark.operators.graph import connected_components
+        for seed, n_nodes, n_edges in [(3, 60, 120), (7, 80, 40),
+                                       (11, 50, 200)]:
+            rng = np.random.RandomState(seed)
+            edges = pd.DataFrame({"id_a": rng.randint(0, n_nodes, n_edges),
+                                  "id_b": rng.randint(0, n_nodes, n_edges)})
+            edges = edges[edges.id_a != edges.id_b]
+            df = spark.createDataFrame(edges)
+            a = sorted(map(tuple, connected_components(df).collect()))
+            b = sorted(map(tuple,
+                           connected_components(df, algorithm="star")
+                           .collect()))
+            assert a == b, f"seed={seed}"
+
+    def test_star_closes_path_graph(self, spark):
+        # the at-scale motivation: a diameter-40 path graph that label
+        # propagation cannot close in 8 rounds contracts in O(log n)
+        # star rounds
+        import pandas as pd
+        import pytest
+        from logparse_rs_spark.operators.graph import connected_components
+        chain = [(i, i + 1) for i in range(40)]
+        df = spark.createDataFrame(
+            pd.DataFrame(chain, columns=["id_a", "id_b"]))
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(df, max_iter=8)
+        got = {r["id"]: r["component"]
+               for r in connected_components(df, algorithm="star",
+                                             max_iter=8).collect()}
+        assert got == {i: 0 for i in range(41)}
+
+    def test_star_reliable_checkpoint_path(self, spark, tmp_path):
+        # pluggable lineage truncation: with a checkpoint dir configured
+        # the rounds use reliable df.checkpoint (executor-loss-safe on a
+        # real cluster) and the result is unchanged
+        import pandas as pd
+        from logparse_rs_spark.operators.graph import connected_components
+        edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["id_a", "id_b"]))
+        sc = spark.sparkContext
+        assert sc.getCheckpointDir() is None
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        try:
+            got = {r["id"]: r["component"]
+                   for r in connected_components(df, algorithm="star")
+                   .collect()}
+        finally:
+            # unset so later tests run the localCheckpoint path again
+            # (pyspark has no unset API; clear the underlying Option)
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
 
 class TestContamination:
     def test_matches_python(self, spark, docs):
@@ -617,3 +677,43 @@ class TestRebalance:
         from logparse_rs_spark.operators.text import rebalance_by_group
         kept = rebalance_by_group(docs, group_col="lang", quota=3)
         assert kept.columns == docs.columns
+
+    def test_plan_is_two_phase_topk(self, spark, docs):
+        # at-scale guarantee: Catalyst's rank-limit pushdown executes the
+        # quota as a two-phase top-K — a PARTIAL per-source-partition
+        # WindowGroupLimit below the Exchange (so a skewed giant group
+        # ships at most quota rows per map partition, never sorts in full
+        # on one reducer) and a FINAL trim above it
+        from logparse_rs_spark.operators.text import rebalance_by_group
+        plan = (rebalance_by_group(docs, "lang", quota=3)
+                ._jdf.queryExecution().executedPlan().toString())
+        partial = plan.find("Partial")
+        exchange = plan.find("Exchange")
+        final = plan.find("WindowGroupLimit")
+        assert "WindowGroupLimit" in plan and partial != -1
+        # plan prints top-down: Final trim above the Exchange, Partial below
+        assert final < exchange < partial
+
+    def test_skewed_group_semantics(self, spark):
+        # one giant stratum (100x the quota) plus small ones: survivor set
+        # must be quota-capped, content-fingerprint-chosen, and identical
+        # under any input partitioning
+        import pandas as pd
+        from logparse_rs_spark.operators.text import rebalance_by_group
+        quota = 4
+        rows = [(i, "xx", f"giant doc number {i} with words") for i
+                in range(quota * 100)]
+        rows += [(10_000 + i, "yy", f"small doc {i}") for i in range(3)]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "lang", "text"]))
+        want = sorted(r["doc_id"] for r in
+                      rebalance_by_group(df, "lang", quota=quota).collect())
+        for parts in (1, 7, 32):
+            got = sorted(r["doc_id"] for r in
+                         rebalance_by_group(df.repartition(parts), "lang",
+                                            quota=quota).collect())
+            assert got == want, f"parts={parts}"
+        per = {r["lang"]: r["n"] for r in
+               rebalance_by_group(df, "lang", quota=quota)
+               .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert per == {"xx": quota, "yy": 3}

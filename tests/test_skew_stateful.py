@@ -122,6 +122,18 @@ class TestStatefulStreaming:
         assert len(rows) == 4  # each distinct (field, original) exactly once
         assert got == {("src", "1.1.1.1"): "T_a", ("src", "2.2.2.2"): "T_b",
                        ("src", "3.3.3.3"): "T_d", ("dst", "9.9.9.9"): "T_c"}
+        # state-size assertion: the checkpointed state holds 8-byte value
+        # HASHES (array<long>), not the original strings — read the state
+        # store back and check shape + per-field cardinality
+        state = (spark.read.format("statestore")
+                 .load(str(tmp_path / "ckpt2")))
+        seen_field = (state.schema["value"].dataType["groupState"]
+                      .dataType["seen"])
+        import pyspark.sql.types as T
+        assert isinstance(seen_field.dataType.elementType, T.LongType)
+        per_field = {r["key"]["field"]: len(r["value"]["groupState"]["seen"])
+                     for r in state.collect()}
+        assert per_field == {"src": 3, "dst": 1}
 
 
 class TestSaltSpread:
