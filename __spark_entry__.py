@@ -444,14 +444,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
         nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
         reg = spark.read.parquet(f"{sf_dir}/region.parquet")
-        # join order: the fact tables (lineitem, orders, customer — all
-        # O(SF)) shuffle-join on their keys; only the genuinely bounded
-        # dims are broadcast (supplier is small per SF unit; nation/region
-        # are CONSTANT size at 100 TB)
+        # join order: the O(SF) tables (lineitem, orders, customer,
+        # supplier) shuffle-join on their keys — supplier also scales with
+        # SF (10k rows x SF), so it gets NO forced broadcast hint (AQE
+        # promotes it at runtime while it fits, and stops when it doesn't);
+        # only nation/region, CONSTANT size at any SF, are hinted
         return (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(cust, orders.o_custkey == cust.c_custkey)
-            .join(F.broadcast(supp),
+            .join(supp,
                   (li.l_suppkey == supp.s_suppkey)
                   & (cust.c_nationkey == supp.s_nationkey))
             .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)

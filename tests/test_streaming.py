@@ -188,6 +188,50 @@ class TestStreamingDedup:
         assert survivors in ([0, 1, 4], [1, 3, 4])
         assert len(survivors) == 3
 
+    def test_rocksdb_state_store(self, spark, tmp_path):
+        # the at-ingest-scale state backend: the same stateful dedup with
+        # state in RocksDB (bounded executor heap, incremental checkpoint)
+        # instead of the default HDFS-backed in-memory map
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from logparse_rs_spark.streaming.stateful import streaming_exact_dedup
+
+        src = tmp_path / "docs_stream_rdb"
+        src.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["Alpha Beta", "gamma delta"]),
+        }), str(src / "b1.parquet"))
+        pq.write_table(pa.table({
+            "doc_id": pa.array([2, 3], pa.int64()),
+            "text": pa.array(["ALPHA  beta", "epsilon zeta"]),
+        }), str(src / "b2.parquet"))
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(
+            key, "org.apache.spark.sql.execution.streaming.state."
+                 "RocksDBStateStoreProvider")
+        try:
+            stream = (spark.readStream
+                      .schema("doc_id long, text string")
+                      .option("maxFilesPerTrigger", 1)
+                      .parquet(str(src)))
+            q = (streaming_exact_dedup(stream).writeStream
+                 .outputMode("append").format("memory")
+                 .queryName("dedup_rocksdb")
+                 .option("checkpointLocation", str(tmp_path / "ckpt_rdb"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        rows = spark.sql("SELECT * FROM dedup_rocksdb").collect()
+        assert len(rows) == 3  # alpha-beta deduped across batches
+
 
 class TestKafkaPlanShape:
     """S4 closure: the Kafka ingest path is the SAME downstream plan as the
