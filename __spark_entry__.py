@@ -546,6 +546,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("kept_docs"),
                      F.sum("n_chars").alias("kept_chars")))
 
+    def doc_quality_topfrac(spark, sf_dir):
+        # percentile-threshold curation: keep the best quarter per
+        # language by quality score (ties broken by doc_id; kept count
+        # = ceil(0.25 * group size), integer-exact on both sides)
+        from logparse_rs_spark.operators.text import (
+            quality_percentile_filter)
+        return quality_percentile_filter(_docs(spark, sf_dir), frac=0.25)
+
+    def doc_length_bands(spark, sf_dir):
+        # corpus length histogram over fixed log-spaced bands — exact,
+        # scan-side, no global sort (see operators/text.length_histogram)
+        from logparse_rs_spark.operators.text import length_histogram
+        return length_histogram(_docs(spark, sf_dir))
+
+    def log_top_domains(spark, sf_dir):
+        # web-pipeline staple: per-host line volume + error rate over the
+        # parsed pages (host from the url via an RE2-and-Java-compatible
+        # regex, identical string in the oracle)
+        p = _parsed(spark, sf_dir)
+        host = F.regexp_extract(F.col("url"), "^[a-z]+://([^/]+)", 1)
+        return (p.groupBy(host.alias("host"))
+                .agg(F.count("*").alias("n_lines"),
+                     F.sum((F.col("status") == "error").cast("long"))
+                     .alias("n_errors"))
+                .orderBy(F.desc("n_lines"), F.asc("host")).limit(20))
+
+    def emb_dup_clusters(spark, sf_dir):
+        # embedding-space duplicate GROUPS: cosine near-dup pairs ->
+        # star-contraction transitive closure -> per-cluster sizes (the
+        # semantic-dedup endgame, mirroring doc_dup_clusters over text)
+        from logparse_rs_spark.operators.graph import dup_clusters
+        from logparse_rs_spark.operators.similarity import neardup_pairs
+        emb = _emb(spark, sf_dir)
+        pairs = neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.35,
+                              bands=16).select("id_a", "id_b")
+        return dup_clusters(pairs, algorithm="star")
+
     _stream_dedup_seq = [0]
 
     def doc_streaming_exact_dedup(spark, sf_dir):
@@ -657,6 +694,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": tpch_q5ish,
         "doc_dup_clusters": doc_dup_clusters,
         "doc_streaming_exact_dedup": doc_streaming_exact_dedup,
+        "doc_quality_topfrac": doc_quality_topfrac,
+        "doc_length_bands": doc_length_bands,
+        "log_top_domains": log_top_domains,
+        "emb_dup_clusters": emb_dup_clusters,
         "events_running_total": events_running_total,
         "doc_contamination": doc_contamination,
         "doc_cluster_dedup_stats": doc_cluster_dedup_stats,
@@ -1136,6 +1177,57 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id < 25)
         SELECT t.doc_id, e.eval_id, COUNT(*) AS shared_ngrams
         FROM t JOIN e USING (g) GROUP BY t.doc_id, e.eval_id
+    """
+    # percentile-threshold curation: the quality CTE is the doc_quality
+    # oracle verbatim (composition cannot drift from the per-op oracle)
+    d["doc_quality_topfrac"] = f"""
+        WITH q AS ({d["doc_quality"]}),
+        j AS (SELECT q.doc_id, dd.lang, q.quality
+              FROM q JOIN documents dd USING (doc_id)),
+        r AS (SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY quality DESC, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS cnt
+              FROM j)
+        SELECT doc_id, lang FROM r WHERE rn <= ceil(cnt * 0.25)
+    """
+    from logparse_rs_spark.operators.text import LENGTH_BANDS
+    _edges = [0] + LENGTH_BANDS
+    _band_case = "CASE " + " ".join(
+        f"WHEN length(text) < {hi} THEN '{lo}-{hi - 1}'"
+        for lo, hi in zip(_edges, _edges[1:])
+    ) + f" ELSE '{LENGTH_BANDS[-1]}+' END"
+    d["doc_length_bands"] = f"""
+        SELECT {_band_case} AS band, COUNT(*) AS n_docs,
+               SUM(length(text))::BIGINT AS total_chars,
+               MIN(length(text)) AS min_chars,
+               MAX(length(text)) AS max_chars
+        FROM documents GROUP BY band
+    """
+    d["log_top_domains"] = f"""
+        SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+               COUNT(*) AS n_lines,
+               SUM((status = 'error')::BIGINT) AS n_errors
+        FROM {E}
+        GROUP BY host ORDER BY n_lines DESC, host ASC LIMIT 20
+    """
+    # embedding duplicate clusters: recursive closure over the near-dup
+    # pair oracle (the pair CTE is the emb_neardup_pairs oracle verbatim)
+    d["emb_dup_clusters"] = f"""
+        WITH RECURSIVE p AS ({d["emb_neardup_pairs"]}),
+        edges AS (SELECT id_a AS a, id_b AS b FROM p
+                  UNION SELECT id_b, id_a FROM p),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach(id, r) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+        ),
+        comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        sizes AS (SELECT component, COUNT(*) AS cluster_size
+                  FROM comp GROUP BY component)
+        SELECT c.id, c.component, s.cluster_size
+        FROM comp c JOIN sizes s USING (component)
     """
     # streaming exact-dedup, batch-equivalence form: ascending-id
     # micro-batches make the streaming survivor set equal the batch

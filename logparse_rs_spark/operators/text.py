@@ -271,6 +271,71 @@ def rebalance_by_group(docs: DataFrame, group_col: str = "lang",
             .drop("_ord", "_rn"))
 
 
+def quality_percentile_filter(docs: DataFrame, frac: float = 0.25,
+                              group_col: str = "lang",
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Keep the top `frac` of documents by quality score within each group
+    — the percentile-threshold curation step ("keep the best quarter per
+    language") that follows quality scoring in a corpus-assembly pipeline.
+    Returns (id, group) of the survivors.
+
+    Deterministic: rank ties break on the document id, so the survivor
+    set is independent of partitioning and input order. The kept count
+    per group is ceil(frac * group_size) — integer semantics both engines
+    agree on exactly.
+
+    Scale shape: quality is a pure scan-side projection (quality_score);
+    the filter is ONE shuffle on the group key — the rank and count
+    windows share the same partitioning, so Catalyst plans a single
+    Exchange. The count window needs the whole group materialized (a
+    percentile threshold is a group statistic, unlike the fixed-quota
+    rebalance where rank-limit pushdown pre-trims); groups here are
+    language-sized strata, partitioned across the cluster by the window
+    shuffle."""
+    from pyspark.sql import Window
+
+    q = (quality_score(docs, text_col=text_col, id_col=id_col)
+         .select(id_col, "quality"))
+    j = docs.select(id_col, group_col).join(q, on=id_col)
+    wr = Window.partitionBy(group_col).orderBy(F.desc("quality"),
+                                               F.asc(id_col))
+    wc = Window.partitionBy(group_col)
+    return (j.withColumn("_rn", F.row_number().over(wr))
+            .withColumn("_cnt", F.count("*").over(wc))
+            .filter(F.col("_rn") <= F.ceil(F.col("_cnt") * F.lit(frac)))
+            .select(id_col, group_col))
+
+
+# fixed log-ish length bands, spelled as explicit edges so Spark and any
+# oracle engine agree EXACTLY (floor(log2(x)) would hinge on both engines'
+# float log rounding at the band edges)
+LENGTH_BANDS = [100, 300, 1000, 3000, 10000]
+
+
+def length_histogram(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus length-distribution histogram over fixed log-spaced bands —
+    the first diagnostic a training-data pipeline runs (truncation rates,
+    boilerplate spikes, tokenizer budget planning). Pure scan + a
+    band-cardinality shuffle (map-side partial agg): zero Python, no
+    global sort — unlike an exact decile split, which is a total-order
+    statistic, fixed bands keep the exact answer embarrassingly
+    parallel at any scale."""
+    c = F.length(F.col(text_col))
+    band = F.lit(f"{LENGTH_BANDS[-1]}+")
+    for hi in reversed(LENGTH_BANDS):
+        lo = LENGTH_BANDS[LENGTH_BANDS.index(hi) - 1] if \
+            LENGTH_BANDS.index(hi) > 0 else 0
+        band = F.when(c < hi, F.lit(f"{lo}-{hi - 1}")).otherwise(band)
+    return (docs.select(band.alias("band"), c.alias("n_chars"))
+            .groupBy("band")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.min("n_chars").alias("min_chars"),
+                 F.max("n_chars").alias("max_chars")))
+
+
 def contamination_check(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
                         text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:

@@ -619,6 +619,78 @@ class TestDupClusters:
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+class TestQualityPercentile:
+    def test_keeps_ceil_frac_per_group(self, spark, docs):
+        from logparse_rs_spark.operators.text import (
+            quality_percentile_filter)
+        import math
+        kept = quality_percentile_filter(docs, frac=0.25)
+        per = {r["lang"]: r["n"] for r in
+               kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        totals = {r["lang"]: r["n"] for r in
+                  docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert per == {g: math.ceil(n * 0.25) for g, n in totals.items()}
+
+    def test_survivors_are_top_quality(self, spark, docs):
+        # every kept doc's quality >= every dropped doc's quality within
+        # the same group (modulo the id tie-break at the threshold)
+        from logparse_rs_spark.operators.text import (
+            quality_percentile_filter, quality_score)
+        kept_ids = {r["doc_id"] for r in
+                    quality_percentile_filter(docs, frac=0.25).collect()}
+        q = {r["doc_id"]: r["quality"]
+             for r in quality_score(docs).collect()}
+        langs = {r["doc_id"]: r["lang"]
+                 for r in docs.select("doc_id", "lang").collect()}
+        for g in set(langs.values()):
+            ks = [q[i] for i in kept_ids if langs[i] == g]
+            ds = [q[i] for i in q if i not in kept_ids and langs[i] == g]
+            if ks and ds:
+                # a dropped doc may TIE the threshold quality (id
+                # tie-break) but can never exceed it
+                assert max(ds) <= min(ks), g
+
+    def test_partitioning_invariant(self, spark, docs):
+        from logparse_rs_spark.operators.text import (
+            quality_percentile_filter)
+        a = sorted(r["doc_id"] for r in
+                   quality_percentile_filter(docs, frac=0.25).collect())
+        b = sorted(r["doc_id"] for r in
+                   quality_percentile_filter(docs.repartition(7), frac=0.25)
+                   .collect())
+        assert a == b
+
+
+class TestLengthHistogram:
+    def test_matches_python(self, spark, docs):
+        from logparse_rs_spark.operators.text import (
+            LENGTH_BANDS, length_histogram)
+        got = {r["band"]: (r["n_docs"], r["total_chars"]) for r in
+               length_histogram(docs).collect()}
+        edges = [0] + LENGTH_BANDS
+        want = {}
+        for r in docs.select("text").collect():
+            n = len(r["text"] or "")
+            band = f"{LENGTH_BANDS[-1]}+"
+            for lo, hi in zip(edges, edges[1:]):
+                if n < hi:
+                    band = f"{lo}-{hi - 1}"
+                    break
+            c, t = want.get(band, (0, 0))
+            want[band] = (c + 1, t + n)
+        assert got == want
+
+    def test_no_shuffle_of_text(self, spark, docs):
+        # the plan must aggregate band-cardinality data: a partial
+        # hash-aggregate below the exchange, no sort, no text column
+        # surviving past the scan projection
+        from logparse_rs_spark.operators.text import length_histogram
+        plan = (length_histogram(docs)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "HashAggregate" in plan
+        assert "Sort" not in plan
+
+
 class TestContamination:
     def test_matches_python(self, spark, docs):
         from collections import defaultdict
