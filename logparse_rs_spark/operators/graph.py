@@ -38,14 +38,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _truncate(df: DataFrame) -> DataFrame:
+def _truncate(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut lineage between rounds (iterative plans grow exponentially
     otherwise). Reliable checkpoint when the session configured a
-    checkpoint dir; localCheckpoint as the single-node fallback."""
+    checkpoint dir; localCheckpoint as the single-node fallback.
+    eager=False defers materialization to the caller's next action —
+    rounds that immediately run a convergence agg save one job each."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def connected_components(pairs: DataFrame, src: str = "id_a",
@@ -69,13 +71,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
              .union(pairs.select(F.col(dst).cast("long").alias("a"),
                                  F.col(src).cast("long").alias("b")))
              .distinct())
-    # materialize the edge set ONCE: every round's actions re-execute the
+    # truncate the edge set ONCE: every round's actions re-execute the
     # edges lineage otherwise — for LSH pair graphs that lineage is the
-    # whole signature + banding computation, recomputed per round
-    edges = _truncate(edges)
+    # whole signature + banding computation, recomputed per round.
+    # (lazy: round 1's convergence count is the materializing action)
+    edges = _truncate(edges, eager=False)
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("label", F.col("id")))
-    labels = _truncate(labels)
+    labels = _truncate(labels, eager=False)
 
     for _ in range(max_iter):
         # neighbor-min pass: for each node, the min label among neighbors.
@@ -91,7 +94,8 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
                         F.least("label", F.coalesce("nlabel", "label"))
                         .alias("new_label")))
         # truncate lineage each round or the plan grows exponentially
-        step = _truncate(step)
+        # (lazy: the convergence count below materializes it)
+        step = _truncate(step, eager=False)
         changed = step.filter(F.col("new_label") != F.col("label")).count()
         labels = step.select("id", F.col("new_label").alias("label"))
         if changed == 0:
@@ -143,21 +147,27 @@ def _edge_fingerprint(e: DataFrame):
 
 def _components_star(pairs: DataFrame, src: str, dst: str,
                      max_iter: int) -> DataFrame:
-    nodes = (pairs.select(F.col(src).cast("long").alias("id"))
-             .union(pairs.select(F.col(dst).cast("long").alias("id")))
+    # truncate the INPUT once: nodes and the canonical edge set both
+    # derive from it, and for LSH pair graphs the pair lineage is the
+    # whole signature/banding/verify computation — without this it would
+    # execute once per derived frame
+    pairs = _truncate(
+        pairs.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("d")), eager=False)
+    nodes = (pairs.select(F.col("s").alias("id"))
+             .union(pairs.select(F.col("d").alias("id")))
              .distinct())
-    nodes = _truncate(nodes)
-    e = (pairs.select(
-            F.greatest(F.col(src).cast("long"),
-                       F.col(dst).cast("long")).alias("a"),
-            F.least(F.col(src).cast("long"),
-                    F.col(dst).cast("long")).alias("b"))
+    nodes = _truncate(nodes, eager=False)
+    e = (pairs.select(F.greatest("s", "d").alias("a"),
+                      F.least("s", "d").alias("b"))
          .filter(F.col("a") != F.col("b"))
          .distinct())
-    e = _truncate(e)
+    # lazy truncation: the fingerprint agg that follows each round is the
+    # action that materializes the checkpoint — one job per round, not two
+    e = _truncate(e, eager=False)
     fp = _edge_fingerprint(e)
     for _ in range(max_iter):
-        e = _truncate(_small_star(_large_star(e)))
+        e = _truncate(_small_star(_large_star(e)), eager=False)
         nfp = _edge_fingerprint(e)
         if nfp == fp:
             break
