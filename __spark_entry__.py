@@ -583,6 +583,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               bands=16).select("id_a", "id_b")
         return dup_clusters(pairs, algorithm="star")
 
+    _stream_seq = [0]
+
+    def events_streaming_sessions(spark, sf_dir):
+        # NATIVE streaming sessionization (session_window + watermark,
+        # streaming/stream.py) driven to batch equivalence over the events
+        # table, then rolled up per user. Oracle = the same half-open gap
+        # rule (a gap of EXACTLY 30 min starts a new session) as SQL.
+        import shutil as _shutil
+
+        from logparse_rs_spark.streaming.stream import streaming_sessions
+
+        # the file-stream source lists a DIRECTORY; the events table is a
+        # single parquet file — stage it (hardlink when possible) into a
+        # per-sf fixture dir once
+        tag = _sf_tag(sf_dir)
+        src = os.path.join(FIXTURE_ROOT, f"eventstream_{tag}")
+        dest = os.path.join(src, "events.parquet")
+        if not os.path.exists(dest):
+            os.makedirs(src, exist_ok=True)
+            try:
+                os.link(f"{sf_dir}/events.parquet", dest)
+            except OSError:
+                _shutil.copyfile(f"{sf_dir}/events.parquet", dest)
+        stream = (spark.readStream
+                  .schema("event_id long, ts timestamp_ntz, user_id long, "
+                          "event_type string, value double, props string")
+                  .parquet(src))
+        _stream_seq[0] += 1
+        name = f"sessions_feed_{_stream_seq[0]}"
+        q = (streaming_sessions(stream, gap="30 minutes")
+             .writeStream.outputMode("complete").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+        return (spark.table(name).groupBy("user_id")
+                .agg(F.count("*").alias("n_sessions"),
+                     F.sum("n_events").cast("long").alias("n_events")))
+
     _stream_dedup_seq = [0]
 
     def doc_streaming_exact_dedup(spark, sf_dir):
@@ -694,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": tpch_q5ish,
         "doc_dup_clusters": doc_dup_clusters,
         "doc_streaming_exact_dedup": doc_streaming_exact_dedup,
+        "events_streaming_sessions": events_streaming_sessions,
         "doc_quality_topfrac": doc_quality_topfrac,
         "doc_length_bands": doc_length_bands,
         "log_top_domains": log_top_domains,
@@ -1235,6 +1273,23 @@ def oracle_sql() -> dict[str, str]:
     d["doc_streaming_exact_dedup"] = f"""
         SELECT MIN(doc_id) AS doc_id FROM documents
         GROUP BY trim(regexp_replace(lower(text), '{WSP}', ' ', 'g'))
+    """
+    # streaming sessionization equivalence: session_window's half-open
+    # boundary means a gap of EXACTLY the session gap starts a NEW session
+    # (>= in the oracle, vs > in the batch lag-rule query above)
+    d["events_streaming_sessions"] = """
+        WITH o AS (
+          SELECT user_id,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+          FROM events),
+        s AS (SELECT user_id,
+                     CASE WHEN gap_us IS NULL OR gap_us >= 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM o)
+        SELECT user_id, SUM(new_s)::BIGINT AS n_sessions,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id
     """
     d["events_running_total"] = """
         SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -172,6 +172,31 @@ def streaming_type_counts(pages_stream: DataFrame, schema: CompiledSchema,
     )
 
 
+def streaming_sessions(events_stream: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "1 hour",
+                       ts_col: str = "ts",
+                       key_col: str = "user_id") -> DataFrame:
+    """Gap-based sessionization as a NATIVE streaming aggregate:
+    ``F.session_window`` merges events separated by less than `gap` into
+    one dynamic window per key, and the watermark closes (finalizes)
+    sessions deterministically once event time has moved `watermark` past
+    their end — the streaming form of the batch lag-over-window
+    sessionization, with state per OPEN session only (closed sessions are
+    emitted and evicted, so state does not grow with stream length).
+    Returns (key, session_start, session_end, n_events)."""
+    # watermarks require TIMESTAMP (LTZ) event time; parquet event tables
+    # surface TIMESTAMP_NTZ — cast via the session timezone (UTC in the
+    # session factory), the same convention the batch queries use
+    ev = events_stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    ev = ev.withWatermark(ts_col, watermark)
+    return (ev.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col(key_col),
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_events"))
+
+
 def run_stream_to_memory(spark: SparkSession, src_dir: str,
                          schema_path: str, query_name: str = "stream_counts"
                          ) -> DataFrame:

@@ -233,6 +233,67 @@ class TestStreamingDedup:
         assert len(rows) == 3  # alpha-beta deduped across batches
 
 
+class TestStreamingSessions:
+    def test_matches_python_session_semantics(self, spark, tmp_path):
+        # gap-based session_window over a micro-batched event stream must
+        # produce exactly the sessions a python replay of the gap rule
+        # builds (session extends while next_ts < last_ts + gap; half-open
+        # boundary, so an exactly-gap-separated event starts a NEW session)
+        import pandas as pd
+
+        from logparse_rs_spark.streaming.stream import streaming_sessions
+
+        ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .filter("user_id < 6")
+              .select("user_id", "ts", "event_id")
+              .toPandas())
+        src = tmp_path / "events_stream"
+        src.mkdir()
+        half = len(ev) // 2
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def dump(frame, name):
+            pq.write_table(pa.table({
+                "user_id": pa.array(frame["user_id"], pa.int64()),
+                "ts": pa.array(frame["ts"].astype("datetime64[us]"),
+                               pa.timestamp("us")),
+                "event_id": pa.array(frame["event_id"], pa.int64()),
+            }), str(src / name))
+
+        dump(ev.iloc[:half], "b1.parquet")
+        dump(ev.iloc[half:], "b2.parquet")
+
+        stream = (spark.readStream
+                  .schema("user_id long, ts timestamp_ntz, event_id long")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (streaming_sessions(stream, gap="30 minutes")
+             .writeStream.outputMode("complete")
+             .format("memory").queryName("sessions")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = {}
+        for r in spark.sql("SELECT * FROM sessions").collect():
+            got.setdefault(r["user_id"], []).append(r["n_events"])
+
+        gap_s = 30 * 60
+        want = {}
+        for uid, grp in ev.sort_values(["user_id", "ts", "event_id"]) \
+                          .groupby("user_id"):
+            sessions, last, n = [], None, 0
+            for ts in grp["ts"]:
+                if last is not None and \
+                        (ts - last).total_seconds() >= gap_s:
+                    sessions.append(n)
+                    n = 0
+                n += 1
+                last = ts
+            sessions.append(n)
+            want[int(uid)] = sessions
+        assert {u: sorted(v) for u, v in got.items()} == \
+               {u: sorted(v) for u, v in want.items()}
+
+
 class TestKafkaPlanShape:
     """S4 closure: the Kafka ingest path is the SAME downstream plan as the
     socket source, hanging off format('kafka'). The connector jars are not
