@@ -546,6 +546,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("kept_docs"),
                      F.sum("n_chars").alias("kept_chars")))
 
+    def doc_rare_terms(spark, sf_dir):
+        # per-doc distinguishing terms: 3 rarest tokens by corpus document
+        # frequency (all-integer ranking: df asc, tf desc, token asc)
+        from logparse_rs_spark.operators.text import rare_terms
+        return rare_terms(_docs(spark, sf_dir), k=3, min_len=4)
+
     def doc_quality_topfrac(spark, sf_dir):
         # percentile-threshold curation: keep the best quarter per
         # language by quality score (ties broken by doc_id; kept count
@@ -582,6 +588,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.35,
                               bands=16).select("id_a", "id_b")
         return dup_clusters(pairs, algorithm="star")
+
+    def doc_chunks(spark, sf_dir):
+        # sliding-window chunking (64-word chunks, stride 48): one row per
+        # (doc, chunk) with an md5 of the chunk text so content is pinned
+        # byte-exactly against the oracle without shipping full chunks
+        # through the hash compare
+        from logparse_rs_spark.operators.text import chunk_documents
+        ch = chunk_documents(_docs(spark, sf_dir), chunk_words=64,
+                             stride=48)
+        return ch.select("doc_id", "chunk_id", "chunk_words",
+                         "chunk_chars", F.md5("chunk_text").alias("chunk_md5"))
 
     _stream_seq = [0]
 
@@ -732,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": doc_dup_clusters,
         "doc_streaming_exact_dedup": doc_streaming_exact_dedup,
         "events_streaming_sessions": events_streaming_sessions,
+        "doc_chunks": doc_chunks,
+        "doc_rare_terms": doc_rare_terms,
         "doc_quality_topfrac": doc_quality_topfrac,
         "doc_length_bands": doc_length_bands,
         "log_top_domains": log_top_domains,
@@ -1215,6 +1234,47 @@ def oracle_sql() -> dict[str, str]:
               WHERE doc_id < 25)
         SELECT t.doc_id, e.eval_id, COUNT(*) AS shared_ngrams
         FROM t JOIN e USING (g) GROUP BY t.doc_id, e.eval_id
+    """
+    # sliding-window chunking: same start sequence + trailing-window
+    # coverage filter + word slices, md5 pins the chunk content
+    d["doc_chunks"] = f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '{WSP}'),
+                             x -> x <> '') AS ws
+          FROM documents),
+        c AS (
+          SELECT doc_id, ws, len(ws) AS n,
+                 list_filter(
+                   CASE WHEN len(ws) > 0
+                        THEN generate_series(1, len(ws), 48)
+                        ELSE []::BIGINT[] END,
+                   i -> i = 1 OR i - 48 + 64 - 1 < len(ws)) AS starts
+          FROM w),
+        t AS (SELECT doc_id, ws, unnest(starts) AS s FROM c)
+        SELECT doc_id, (s - 1) // 48 AS chunk_id,
+               len(list_slice(ws, s, s + 63)) AS chunk_words,
+               length(array_to_string(list_slice(ws, s, s + 63), ' '))
+                 AS chunk_chars,
+               md5(array_to_string(list_slice(ws, s, s + 63), ' '))
+                 AS chunk_md5
+        FROM t
+    """
+    # per-doc rarest terms: all-integer ranking (df asc, tf desc, token)
+    d["doc_rare_terms"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(lower(text), '{WSP}'),
+                   x -> length(x) >= 4)) AS token
+          FROM documents),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+               FROM toks GROUP BY doc_id, token),
+        dfk AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        r AS (SELECT tf.doc_id, tf.token, tf.tf, dfk.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY dfk.df ASC, tf.tf DESC, tf.token ASC) AS rn
+              FROM tf JOIN dfk USING (token))
+        SELECT doc_id, token, tf, df FROM r WHERE rn <= 3
     """
     # percentile-threshold curation: the quality CTE is the doc_quality
     # oracle verbatim (composition cannot drift from the per-op oracle)

@@ -271,6 +271,81 @@ def rebalance_by_group(docs: DataFrame, group_col: str = "lang",
             .drop("_ord", "_rn"))
 
 
+def chunk_documents(docs: DataFrame, chunk_words: int = 64,
+                    stride: int = 48, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-word-budget chunks with overlap — the
+    sequence-preparation step before tokenization/packing in a training
+    pipeline (stride < chunk_words gives the standard sliding-window
+    overlap so no span is lost at chunk boundaries). Returns one row per
+    (doc, chunk): (id, chunk_id, chunk_words, chunk_chars, chunk_text).
+
+    JVM-side throughout: tokenize once, then a higher-order transform
+    over a stride index sequence builds every chunk in one projection —
+    no UDF, no shuffle, no self-join; the explode multiplies rows by
+    ~len/stride exactly like the shingle operators. The last window is
+    emitted iff it starts within the text (start < n_words), so short
+    docs yield exactly one chunk and empty docs yield none."""
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    # chunk start offsets 1, 1+stride, ... — keep a start only while the
+    # PREVIOUS window did not already reach the end of the doc (the
+    # coverage test is monotone, so only trailing redundant windows drop
+    # and chunk ids stay contiguous)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))) \
+        .otherwise(F.array().cast("array<int>"))
+    starts = F.filter(
+        starts,
+        lambda i: (i == 1) | (i - stride + chunk_words - 1 < n))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            ((i - 1) / stride).cast("long").alias("chunk_id"),
+            F.slice(words, i, chunk_words).alias("ws"),
+        ),
+    )
+    ex = docs.select(F.col(id_col), F.explode(chunks).alias("c"))
+    ws = F.col("c.ws")
+    txt = F.concat_ws(" ", ws)
+    return ex.select(
+        F.col(id_col),
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size(ws).alias("chunk_words"),
+        F.length(txt).alias("chunk_chars"),
+        txt.alias("chunk_text"),
+    )
+
+
+def rare_terms(docs: DataFrame, k: int = 3, min_len: int = 4,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document distinguishing-term extraction: the k RAREST terms of
+    each doc by corpus document frequency (df asc, then tf desc, then
+    token asc — an all-integer ranking, so the result is bit-deterministic
+    across engines, unlike a float tf-idf score ordering). Tokens shorter
+    than min_len are dropped (stopword-ish noise). Returns
+    (id, token, tf, df).
+
+    Scale shape: one explode + distinct per doc -> df aggregation is
+    vocab-sized (map-side partial agg); the df table joins back to the
+    per-doc term list on the token key — vocab-sized build side, which at
+    bounded vocab is broadcast-able; rank-limit pushdown trims the
+    per-doc top-k before the final shuffle (WindowGroupLimit, same as
+    rebalance_by_group)."""
+    from pyspark.sql import Window
+
+    toks = (docs.select(F.col(id_col),
+                        F.explode(_words(F.col(text_col))).alias("token"))
+            .filter(F.length("token") >= min_len))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_tab = tf.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.asc("df"), F.desc("tf"), F.asc("token"))
+    return (tf.join(df_tab, on="token")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(F.col(id_col), "token", "tf", "df"))
+
+
 def quality_percentile_filter(docs: DataFrame, frac: float = 0.25,
                               group_col: str = "lang",
                               text_col: str = "text",

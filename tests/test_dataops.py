@@ -621,6 +621,41 @@ class TestDupClusters:
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+class TestChunking:
+    def test_coverage_and_shape(self, spark, docs):
+        from logparse_rs_spark.operators.text import chunk_documents
+        chunk, stride = 16, 12
+        got = chunk_documents(docs.limit(40), chunk_words=chunk,
+                              stride=stride).collect()
+        texts = {r["doc_id"]: (r["text"] or "").lower().split()
+                 for r in docs.limit(40).collect()}
+        per_doc = {}
+        for r in got:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        for did, ws in texts.items():
+            rows = sorted(per_doc.get(did, []),
+                          key=lambda r: r["chunk_id"])
+            if not ws:
+                assert rows == []
+                continue
+            # ids contiguous from 0
+            assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+            # each chunk is exactly the expected word window
+            covered = set()
+            for r in rows:
+                s = r["chunk_id"] * stride
+                want = ws[s:s + chunk]
+                assert r["chunk_text"].split(" ") == want
+                assert r["chunk_words"] == len(want)
+                covered.update(range(s, min(s + chunk, len(ws))))
+            # full coverage: every word index appears in some chunk
+            assert covered == set(range(len(ws)))
+            # no fully-redundant trailing window
+            if len(rows) > 1:
+                prev_end = (rows[-2]["chunk_id"]) * stride + chunk
+                assert prev_end < len(ws)
+
+
 class TestQualityPercentile:
     def test_keeps_ceil_frac_per_group(self, spark, docs):
         from logparse_rs_spark.operators.text import (
