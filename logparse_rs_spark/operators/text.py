@@ -65,10 +65,14 @@ def language_id(docs: DataFrame, text_col: str = "text",
 
 
 def quality_score(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  keep_cols: tuple = ()) -> DataFrame:
     """Deterministic quality features + composite score in [0,1]:
     length band, alpha ratio, punctuation ratio, stopword hit ratio,
-    mean word length band. All JVM-side string ops."""
+    mean word length band. All JVM-side string ops. keep_cols carries
+    extra input columns through the projection, so downstream consumers
+    (e.g. the percentile filter grouping by language) never need to
+    self-join this frame back against its own source scan."""
     text = F.col(text_col)
     n_chars = F.length(text)
     n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
@@ -88,6 +92,7 @@ def quality_score(docs: DataFrame, text_col: str = "text",
              + 0.1 * (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))))
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         F.round(alpha_ratio, 6).alias("alpha_ratio"),
@@ -325,23 +330,24 @@ def rare_terms(docs: DataFrame, k: int = 3, min_len: int = 4,
     than min_len are dropped (stopword-ish noise). Returns
     (id, token, tf, df).
 
-    Scale shape: one explode + distinct per doc -> df aggregation is
-    vocab-sized (map-side partial agg); the df table joins back to the
-    per-doc term list on the token key — vocab-sized build side, which at
-    bounded vocab is broadcast-able; rank-limit pushdown trims the
-    per-doc top-k before the final shuffle (WindowGroupLimit, same as
-    rebalance_by_group)."""
+    Scale shape: explode -> ONE (doc, token) aggregate, then df as a
+    count window over the token key on that same frame (the tf frame is
+    already one row per (doc, token), so counting rows per token IS the
+    document frequency — no second aggregate branch recomputing the
+    explode, no self-join), then rank-limit-pushdown top-k per doc
+    (WindowGroupLimit, same as rebalance_by_group). Three narrow
+    shuffles on a single linear pipeline: (doc,token) -> token -> doc."""
     from pyspark.sql import Window
 
     toks = (docs.select(F.col(id_col),
                         F.explode(_words(F.col(text_col))).alias("token"))
             .filter(F.length("token") >= min_len))
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    df_tab = tf.groupBy("token").agg(F.count("*").alias("df"))
+    tfdf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("token")))
     w = Window.partitionBy(id_col).orderBy(
         F.asc("df"), F.desc("tf"), F.asc("token"))
-    return (tf.join(df_tab, on="token")
-            .withColumn("_rn", F.row_number().over(w))
+    return (tfdf.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .select(F.col(id_col), "token", "tf", "df"))
 
@@ -360,23 +366,24 @@ def quality_percentile_filter(docs: DataFrame, frac: float = 0.25,
     per group is ceil(frac * group_size) — integer semantics both engines
     agree on exactly.
 
-    Scale shape: quality is a pure scan-side projection (quality_score);
-    the filter is ONE shuffle on the group key — the rank and count
-    windows share the same partitioning, so Catalyst plans a single
-    Exchange. The count window needs the whole group materialized (a
-    percentile threshold is a group statistic, unlike the fixed-quota
+    Scale shape: quality is a pure scan-side projection (quality_score
+    with keep_cols carrying the group column — NO self-join back to the
+    source scan); the filter is ONE shuffle on the group key — the rank
+    and count windows share the same partitioning, so Catalyst plans a
+    single Exchange. The count window needs the whole group materialized
+    (a percentile threshold is a group statistic, unlike the fixed-quota
     rebalance where rank-limit pushdown pre-trims); groups here are
     language-sized strata, partitioned across the cluster by the window
     shuffle."""
     from pyspark.sql import Window
 
-    q = (quality_score(docs, text_col=text_col, id_col=id_col)
-         .select(id_col, "quality"))
-    j = docs.select(id_col, group_col).join(q, on=id_col)
+    q = (quality_score(docs, text_col=text_col, id_col=id_col,
+                       keep_cols=(group_col,))
+         .select(id_col, group_col, "quality"))
     wr = Window.partitionBy(group_col).orderBy(F.desc("quality"),
                                                F.asc(id_col))
     wc = Window.partitionBy(group_col)
-    return (j.withColumn("_rn", F.row_number().over(wr))
+    return (q.withColumn("_rn", F.row_number().over(wr))
             .withColumn("_cnt", F.count("*").over(wc))
             .filter(F.col("_rn") <= F.ceil(F.col("_cnt") * F.lit(frac)))
             .select(id_col, group_col))
