@@ -546,6 +546,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("kept_docs"),
                      F.sum("n_chars").alias("kept_chars")))
 
+    def doc_packed_sequences(spark, sf_dir):
+        # chunking -> greedy sequence packing (256-word budget, 8 packing
+        # buckets): the applyInPandas-backed stateful-within-group op,
+        # checked against a DuckDB RECURSIVE-CTE replay of the greedy rule
+        from logparse_rs_spark.operators.text import (
+            chunk_documents, pack_chunks)
+        ch = chunk_documents(_docs(spark, sf_dir), chunk_words=64,
+                             stride=48)
+        return pack_chunks(ch, budget=256, n_buckets=8)
+
     def doc_rare_terms(spark, sf_dir):
         # per-doc distinguishing terms: 3 rarest tokens by corpus document
         # frequency (all-integer ranking: df asc, tf desc, token asc)
@@ -750,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_streaming_exact_dedup": doc_streaming_exact_dedup,
         "events_streaming_sessions": events_streaming_sessions,
         "doc_chunks": doc_chunks,
+        "doc_packed_sequences": doc_packed_sequences,
         "doc_rare_terms": doc_rare_terms,
         "doc_quality_topfrac": doc_quality_topfrac,
         "doc_length_bands": doc_length_bands,
@@ -1259,6 +1270,29 @@ def oracle_sql() -> dict[str, str]:
                md5(array_to_string(list_slice(ws, s, s + 63), ' '))
                  AS chunk_md5
         FROM t
+    """
+    # greedy sequence packing: the chunks CTE is the doc_chunks oracle
+    # verbatim; the greedy fill rule (overflow -> new pack) is replayed
+    # exactly by a linear recursive CTE per bucket
+    d["doc_packed_sequences"] = f"""
+        WITH RECURSIVE chunks AS ({d["doc_chunks"]}),
+        ch AS (
+          SELECT doc_id, chunk_id, chunk_words,
+                 ((doc_id % 8) + 8) % 8 AS bucket,
+                 row_number() OVER (PARTITION BY ((doc_id % 8) + 8) % 8
+                                    ORDER BY doc_id, chunk_id) AS rn
+          FROM chunks),
+        rec(bucket, rn, doc_id, chunk_id, fill, pack) AS (
+          SELECT bucket, rn, doc_id, chunk_id, chunk_words, 0::BIGINT
+          FROM ch WHERE rn = 1
+          UNION ALL
+          SELECT c.bucket, c.rn, c.doc_id, c.chunk_id,
+                 CASE WHEN r.fill + c.chunk_words > 256
+                      THEN c.chunk_words ELSE r.fill + c.chunk_words END,
+                 CASE WHEN r.fill + c.chunk_words > 256
+                      THEN r.pack + 1 ELSE r.pack END
+          FROM ch c JOIN rec r ON c.bucket = r.bucket AND c.rn = r.rn + 1)
+        SELECT doc_id, chunk_id, bucket, pack AS pack_id FROM rec
     """
     # per-doc rarest terms: all-integer ranking (df asc, tf desc, token)
     d["doc_rare_terms"] = f"""

@@ -321,6 +321,60 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 64,
     )
 
 
+def pack_chunks(chunks: DataFrame, budget: int = 256, n_buckets: int = 8,
+                words_col: str = "chunk_words", doc_col: str = "doc_id",
+                chunk_col: str = "chunk_id") -> DataFrame:
+    """Greedy sequence packing: fill fixed word-budget packs from an
+    ordered stream of chunks (the step between chunking and tokenization
+    that turns ragged documents into dense training sequences). A chunk
+    that would overflow the current pack starts a new one; an oversized
+    chunk gets a pack of its own. Returns
+    (doc_id, chunk_id, bucket, pack_id).
+
+    Deterministic and parallel: chunks are bucketed by doc id and packed
+    independently per bucket in (doc_id, chunk_id) order — the bucket is
+    the parallelism unit (at corpus scale, thousands of buckets ->
+    thousands of independent packing tasks), and keeping a doc's chunks
+    adjacent is what you want for sequence hygiene anyway. Packing is
+    inherently sequential WITHIN a bucket (the pack break depends on the
+    running fill, not a prefix sum), so this is a genuine
+    applyInPandas case — the per-group loop is numpy-light and runs once
+    per bucket, not per row."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_id", T.LongType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("pack_id", T.LongType()),
+    ])
+    keyed = chunks.select(
+        F.col(doc_col).cast("long").alias("doc_id"),
+        F.col(chunk_col).cast("long").alias("chunk_id"),
+        F.col(words_col).cast("long").alias("w"),
+        F.pmod(F.col(doc_col).cast("long"), F.lit(n_buckets))
+        .cast("long").alias("bucket"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "chunk_id"],
+                              ignore_index=True)
+        packs, fill, pid = [], 0, 0
+        for w in pdf["w"]:
+            if fill > 0 and fill + w > budget:
+                pid += 1
+                fill = 0
+            packs.append(pid)
+            fill += w
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"], "chunk_id": pdf["chunk_id"],
+            "bucket": pdf["bucket"], "pack_id": packs,
+        })
+
+    return keyed.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
 def rare_terms(docs: DataFrame, k: int = 3, min_len: int = 4,
                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document distinguishing-term extraction: the k RAREST terms of

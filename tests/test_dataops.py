@@ -656,6 +656,46 @@ class TestChunking:
                 assert prev_end < len(ws)
 
 
+class TestPacking:
+    def test_budget_and_determinism(self, spark, docs):
+        from logparse_rs_spark.operators.text import (
+            chunk_documents, pack_chunks)
+        ch = chunk_documents(docs, chunk_words=16, stride=12)
+        budget = 48
+        got = pack_chunks(ch, budget=budget, n_buckets=4).collect()
+        words = {(r["doc_id"], r["chunk_id"]): r["chunk_words"]
+                 for r in ch.collect()}
+        fills = {}
+        for r in got:
+            key = (r["bucket"], r["pack_id"])
+            fills[key] = fills.get(key, 0) + words[(r["doc_id"],
+                                                   r["chunk_id"])]
+        # a pack only exceeds the budget when it holds a single oversized
+        # chunk (budget > chunk size here, so: never)
+        n_chunks_per_pack = {}
+        for r in got:
+            n_chunks_per_pack[(r["bucket"], r["pack_id"])] = \
+                n_chunks_per_pack.get((r["bucket"], r["pack_id"]), 0) + 1
+        for key, fill in fills.items():
+            assert fill <= budget or n_chunks_per_pack[key] == 1
+        # greedy tightness: no pack (except the last per bucket) could
+        # have absorbed the FIRST chunk of the next pack
+        by_bucket = {}
+        for r in sorted(got, key=lambda r: (r["bucket"], r["doc_id"],
+                                            r["chunk_id"])):
+            by_bucket.setdefault(r["bucket"], []).append(r)
+        for bucket, rows in by_bucket.items():
+            for prev, cur in zip(rows, rows[1:]):
+                if cur["pack_id"] == prev["pack_id"] + 1:
+                    w = words[(cur["doc_id"], cur["chunk_id"])]
+                    assert fills[(bucket, prev["pack_id"])] + w > budget
+        # partitioning-independent
+        b = sorted(map(tuple, pack_chunks(ch.repartition(13),
+                                          budget=budget,
+                                          n_buckets=4).collect()))
+        assert sorted(map(tuple, got)) == b
+
+
 class TestQualityPercentile:
     def test_keeps_ceil_frac_per_group(self, spark, docs):
         from logparse_rs_spark.operators.text import (
