@@ -556,6 +556,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              stride=48)
         return pack_chunks(ch, budget=256, n_buckets=8)
 
+    def doc_lm_score(spark, sf_dir):
+        # perplexity-style filter: per-doc mean ln P(w2|w1) under the
+        # corpus's own add-one-smoothed bigram model (exact counts)
+        from logparse_rs_spark.operators.text import lm_score
+        return lm_score(_docs(spark, sf_dir))
+
     def doc_rare_terms(spark, sf_dir):
         # per-doc distinguishing terms: 3 rarest tokens by corpus document
         # frequency (all-integer ranking: df asc, tf desc, token asc)
@@ -761,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_sessions": events_streaming_sessions,
         "doc_chunks": doc_chunks,
         "doc_packed_sequences": doc_packed_sequences,
+        "doc_lm_score": doc_lm_score,
         "doc_rare_terms": doc_rare_terms,
         "doc_quality_topfrac": doc_quality_topfrac,
         "doc_length_bands": doc_length_bands,
@@ -1293,6 +1300,31 @@ def oracle_sql() -> dict[str, str]:
                       THEN r.pack + 1 ELSE r.pack END
           FROM ch c JOIN rec r ON c.bucket = r.bucket AND c.rn = r.rn + 1)
         SELECT doc_id, chunk_id, bucket, pack AS pack_id FROM rec
+    """
+    # corpus bigram LM score: same tokenizer class, same add-one model
+    d["doc_lm_score"] = f"""
+        WITH w AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text),
+                   '{WSP}'), x -> x <> '') AS ws
+          FROM documents),
+        bg AS (
+          SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+                   list_transform(generate_series(1, len(ws) - 1),
+                     i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+                 ELSE []::VARCHAR[] END) AS bigram
+          FROM w),
+        v AS (SELECT COUNT(DISTINCT t) AS vocab
+              FROM (SELECT unnest(ws) AS t FROM w)),
+        c AS (SELECT doc_id, bigram,
+                     COUNT(*) OVER (PARTITION BY bigram) AS bg_n,
+                     COUNT(*) OVER (
+                       PARTITION BY string_split(bigram, ' ')[1]) AS un_n
+              FROM bg)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               round(avg(ln((bg_n + 1.0)
+                            / (un_n + (SELECT vocab FROM v)))), 6)
+                 AS lm_score
+        FROM c GROUP BY doc_id
     """
     # per-doc rarest terms: all-integer ranking (df asc, tf desc, token)
     d["doc_rare_terms"] = f"""

@@ -321,6 +321,48 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 64,
     )
 
 
+def lm_score(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Statistical language-model quality score (the perplexity-filter
+    step of C4/CCNet-style curation, with EXACT corpus counts instead of
+    an external KenLM): score(doc) = mean over its bigrams of
+    ln P(w2 | w1), where P is the corpus bigram model with add-one
+    smoothing over the corpus vocabulary. Low scores flag gibberish /
+    boilerplate-unlike text relative to the corpus itself. Returns
+    (id, n_bigrams, lm_score) with the score rounded to 6 decimals.
+
+    Scale shape: two vocab-sized aggregates (bigram + unigram counts,
+    map-side partial agg) joined back to the per-doc bigram list on the
+    bigram key, then one per-doc mean. In a two-pass deployment the
+    count model is a small persisted table (vocab-sized, broadcast-able);
+    nothing corpus-sized shuffles except the (doc, bigram) pairs."""
+    from pyspark.sql import Window
+
+    words = _words(F.col(text_col))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bg = docs.select(F.col(id_col),
+                         F.explode(bigrams).alias("bigram"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    # corpus counts as windows over the distinct keys of the SAME frame:
+    # bigram count over the bigram key, unigram (as-first-word) count over
+    # the first-word key
+    bg_n = F.count("*").over(Window.partitionBy("bigram"))
+    un_n = F.count("*").over(Window.partitionBy(w1))
+    vocab = docs.select(F.explode(words).alias("t")) \
+        .agg(F.count_distinct("t")).first()[0]
+    scored = doc_bg.select(
+        F.col(id_col),
+        F.log((bg_n + F.lit(1.0)) / (un_n + F.lit(float(vocab))))
+        .alias("lp"))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg("lp"), 6).alias("lm_score")))
+
+
 def pack_chunks(chunks: DataFrame, budget: int = 256, n_buckets: int = 8,
                 words_col: str = "chunk_words", doc_col: str = "doc_id",
                 chunk_col: str = "chunk_id") -> DataFrame:

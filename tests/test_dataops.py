@@ -656,6 +656,30 @@ class TestChunking:
                 assert prev_end < len(ws)
 
 
+class TestLmScore:
+    def test_gibberish_scores_below_common_text(self, spark):
+        import pandas as pd
+        from logparse_rs_spark.operators.text import lm_score
+        # 20 docs sharing common phrasing + 1 gibberish doc: the bigram
+        # model must rank the gibberish lowest
+        rows = [(i, "the quick brown fox jumps over the lazy dog again")
+                for i in range(20)]
+        rows.append((99, "zxq vpw qqj mnb xkcd wvut plok"))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]))
+        got = {r["doc_id"]: r["lm_score"] for r in lm_score(df).collect()}
+        assert got[99] == min(got.values())
+        assert all(got[i] == got[0] for i in range(20))
+
+    def test_partitioning_invariant_counts(self, spark, docs):
+        from logparse_rs_spark.operators.text import lm_score
+        a = {r["doc_id"]: r["n_bigrams"]
+             for r in lm_score(docs.limit(50)).collect()}
+        b = {r["doc_id"]: r["n_bigrams"]
+             for r in lm_score(docs.limit(50).repartition(7)).collect()}
+        assert a == b
+
+
 class TestPacking:
     def test_budget_and_determinism(self, spark, docs):
         from logparse_rs_spark.operators.text import (
