@@ -556,6 +556,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              stride=48)
         return pack_chunks(ch, budget=256, n_buckets=8)
 
+    def doc_mixture_sample(spark, sf_dir):
+        # weighted data mixing: sources 0-4 at 10%, 5-9 at 50%, rest
+        # full rate; survivors decided by content fingerprint threshold
+        # classes (reproducible, partitioning-independent, nested)
+        from logparse_rs_spark.operators.text import mixture_sample
+        rates = {f"src{i}": 0.1 for i in range(5)}
+        rates.update({f"src{i}": 0.5 for i in range(5, 10)})
+        kept = mixture_sample(_docs(spark, sf_dir), rates,
+                              default_rate=1.0, exact_fnv=True)
+        return (kept.groupBy("source")
+                .agg(F.count("*").alias("kept_docs"),
+                     F.sum("n_chars").alias("kept_chars")))
+
     def doc_lm_score(spark, sf_dir):
         # perplexity-style filter: per-doc mean ln P(w2|w1) under the
         # corpus's own add-one-smoothed bigram model (exact counts)
@@ -768,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": doc_chunks,
         "doc_packed_sequences": doc_packed_sequences,
         "doc_lm_score": doc_lm_score,
+        "doc_mixture_sample": doc_mixture_sample,
         "doc_rare_terms": doc_rare_terms,
         "doc_quality_topfrac": doc_quality_topfrac,
         "doc_length_bands": doc_length_bands,
@@ -1300,6 +1314,20 @@ def oracle_sql() -> dict[str, str]:
                       THEN r.pack + 1 ELSE r.pack END
           FROM ch c JOIN rec r ON c.bucket = r.bucket AND c.rn = r.rn + 1)
         SELECT doc_id, chunk_id, bucket, pack AS pack_id FROM rec
+    """
+    # weighted mixture sampling: fingerprint threshold classes per source
+    # (fingerprint = the refimpl FNV aux parquet, like stratified_sample)
+    d["doc_mixture_sample"] = f"""
+        SELECT d.source, COUNT(*) AS kept_docs,
+               SUM(d.n_chars)::BIGINT AS kept_chars
+        FROM documents d JOIN {DOC_AUX} a ON d.doc_id = a.doc_id
+        WHERE ((a.fingerprint % 10000) + 10000) % 10000 <
+              CASE WHEN d.source IN ('src0','src1','src2','src3','src4')
+                     THEN 1000
+                   WHEN d.source IN ('src5','src6','src7','src8','src9')
+                     THEN 5000
+                   ELSE 10000 END
+        GROUP BY d.source
     """
     # corpus bigram LM score: same tokenizer class, same add-one model
     d["doc_lm_score"] = f"""

@@ -570,6 +570,36 @@ def fingerprint_sample(docs: DataFrame, modulus: int = 20, keep: int = 0,
     return docs.filter(F.pmod(fp, F.lit(modulus)) == F.lit(keep))
 
 
+def mixture_sample(docs: DataFrame, rates: dict, default_rate: float = 1.0,
+                   group_col: str = "source", text_col: str = "text",
+                   id_col: str = "doc_id", resolution: int = 10_000,
+                   exact_fnv: bool = False) -> DataFrame:
+    """Deterministic weighted mixture sampling — the data-mixing step
+    where each source/domain contributes at its own rate (e.g. books at
+    1.0, web at 0.25). A doc of group g survives iff
+    pmod(fingerprint, resolution) < rates.get(g, default) * resolution:
+    the decision is a pure function of the CONTENT (not an RNG), so the
+    mix is reproducible across runs, cluster sizes, resumes, and input
+    orderings, and nested rates are subsets (a 0.1 sample is contained
+    in the 0.5 sample — handy for scaling-law ladders).
+
+    Narrow: one inline fingerprint + a when-chain threshold per group,
+    filter on the scan — no shuffle, no per-group pass."""
+    from .dedup import normalized_text
+
+    norm = normalized_text(F.col(text_col))
+    if exact_fnv:
+        from ..functions import fnv1a_col
+        fp = fnv1a_col(norm)
+    else:
+        fp = F.xxhash64(norm)
+    thr = F.lit(int(round(default_rate * resolution)))
+    for g, r in sorted(rates.items()):
+        thr = F.when(F.col(group_col) == g,
+                     F.lit(int(round(r * resolution)))).otherwise(thr)
+    return docs.filter(F.pmod(fp, F.lit(resolution)) < thr)
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", exact_fnv: bool = False) -> DataFrame:
     """64-bit document fingerprint over normalized text. Default: xxhash64

@@ -656,6 +656,38 @@ class TestChunking:
                 assert prev_end < len(ws)
 
 
+class TestMixtureSample:
+    def test_nested_and_invariant(self, spark, docs):
+        from logparse_rs_spark.operators.text import mixture_sample
+        lo = {r["doc_id"] for r in
+              mixture_sample(docs, {}, default_rate=0.1).collect()}
+        hi = {r["doc_id"] for r in
+              mixture_sample(docs, {}, default_rate=0.5).collect()}
+        assert lo <= hi  # nested: the 10% sample is inside the 50% one
+        hi2 = {r["doc_id"] for r in
+               mixture_sample(docs.repartition(7), {},
+                              default_rate=0.5).collect()}
+        assert hi == hi2  # partitioning-independent
+
+    def test_rates_apply_per_group(self, spark, docs):
+        from logparse_rs_spark.operators.text import mixture_sample
+        srcs = [r["source"] for r in
+                docs.select("source").distinct().collect()]
+        zero, full = srcs[0], srcs[1]
+        kept = mixture_sample(docs, {zero: 0.0, full: 1.0},
+                              default_rate=0.0,
+                              group_col="source").collect()
+        by_src = {}
+        for r in kept:
+            by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+        totals = {r["source"]: r["n"] for r in
+                  docs.groupBy("source").agg(F.count("*").alias("n"))
+                  .collect()}
+        assert zero not in by_src
+        assert by_src.get(full) == totals[full]
+        assert set(by_src) == {full}
+
+
 class TestLmScore:
     def test_gibberish_scores_below_common_text(self, spark):
         import pandas as pd

@@ -188,6 +188,46 @@ class TestStreamingDedup:
         assert survivors in ([0, 1, 4], [1, 3, 4])
         assert len(survivors) == 3
 
+    def test_restart_from_checkpoint_exactly_once(self, spark, tmp_path):
+        # M4 for the stateful path: stop after batch 1, add a second file,
+        # restart from the SAME checkpoint — state must carry across the
+        # restart (cross-restart dups suppressed, nothing re-emitted).
+        # memory sinks cannot resume, so the output goes to parquet.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from logparse_rs_spark.streaming.stateful import streaming_exact_dedup
+
+        src = tmp_path / "docs_stream_ckpt"
+        src.mkdir()
+        out = str(tmp_path / "dedup_out")
+        ckpt = str(tmp_path / "dedup_ckpt")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["alpha beta", "gamma delta"]),
+        }), str(src / "b1.parquet"))
+
+        def run_once():
+            stream = (spark.readStream
+                      .schema("doc_id long, text string")
+                      .option("maxFilesPerTrigger", 1).parquet(str(src)))
+            q = (streaming_exact_dedup(stream).writeStream
+                 .outputMode("append").format("parquet")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+        run_once()   # processes b1, then stops (availableNow drains)
+        pq.write_table(pa.table({
+            "doc_id": pa.array([2, 3], pa.int64()),
+            "text": pa.array(["ALPHA   BETA", "epsilon zeta"]),
+        }), str(src / "b2.parquet"))
+        run_once()   # restart: must process ONLY b2, with b1's state live
+        rows = spark.read.parquet(out).collect()
+        survivors = sorted(r["doc_id"] for r in rows)
+        # 2 dups 0 across the restart boundary -> suppressed; no re-emits
+        assert survivors == [0, 1, 3]
+
     def test_rocksdb_state_store(self, spark, tmp_path):
         # the at-ingest-scale state backend: the same stateful dedup with
         # state in RocksDB (bounded executor heap, incremental checkpoint)
