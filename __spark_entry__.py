@@ -556,6 +556,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              stride=48)
         return pack_chunks(ch, budget=256, n_buckets=8)
 
+    def doc_winnow_fp(spark, sf_dir):
+        # winnowing (MOSS) local fingerprints: per-doc selected-hash set
+        # stats + the lexicographic min fingerprint pinning content
+        from logparse_rs_spark.operators.dedup import winnow_fingerprints
+        w = winnow_fingerprints(_docs(spark, sf_dir), k=8, window=16)
+        return w.select("doc_id", "n_grams", "n_fingerprints",
+                        F.array_min("fingerprints").alias("min_fp"))
+
     def doc_mixture_sample(spark, sf_dir):
         # weighted data mixing: sources 0-4 at 10%, 5-9 at 50%, rest
         # full rate; survivors decided by content fingerprint threshold
@@ -782,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packed_sequences": doc_packed_sequences,
         "doc_lm_score": doc_lm_score,
         "doc_mixture_sample": doc_mixture_sample,
+        "doc_winnow_fp": doc_winnow_fp,
         "doc_rare_terms": doc_rare_terms,
         "doc_quality_topfrac": doc_quality_topfrac,
         "doc_length_bands": doc_length_bands,
@@ -1314,6 +1323,31 @@ def oracle_sql() -> dict[str, str]:
                       THEN r.pack + 1 ELSE r.pack END
           FROM ch c JOIN rec r ON c.bucket = r.bucket AND c.rn = r.rn + 1)
         SELECT doc_id, chunk_id, bucket, pack AS pack_id FROM rec
+    """
+    # winnowing: same k-gram md5-prefix hashes, same window-min selection
+    d["doc_winnow_fp"] = f"""
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '{WSP}', ' ', 'g')) AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 CASE WHEN length(t) >= 8 THEN
+                   list_transform(generate_series(1, length(t) - 7),
+                     i -> substring(md5(substring(t, i::int, 8)), 1, 8))
+                 ELSE []::VARCHAR[] END AS grams
+          FROM n),
+        m AS (
+          SELECT doc_id, grams,
+                 CASE WHEN len(grams) >= 16 THEN
+                   list_transform(generate_series(1, len(grams) - 15),
+                     j -> list_min(list_slice(grams, j::int, j::int + 15)))
+                 ELSE grams END AS mins
+          FROM g)
+        SELECT doc_id, len(grams) AS n_grams,
+               len(list_distinct(mins)) AS n_fingerprints,
+               list_min(mins) AS min_fp
+        FROM m
     """
     # weighted mixture sampling: fingerprint threshold classes per source
     # (fingerprint = the refimpl FNV aux parquet, like stratified_sample)

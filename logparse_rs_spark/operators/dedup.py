@@ -221,6 +221,47 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
                              max_bucket=max_bucket)
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 16,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every character k-gram of the
+    normalized text, then keep the MINIMUM hash of each sliding window of
+    `window` consecutive k-gram hashes. The selected set is a local
+    fingerprint with a guarantee: any shared substring of length >=
+    window + k - 1 between two documents yields at least one shared
+    fingerprint — robust partial-overlap detection, unlike global
+    min-hashing which needs whole-document similarity.
+
+    Returns (id, fingerprints array<string>, n_grams, n_fingerprints).
+    Pure JVM higher-order expressions, no UDF, no shuffle. The k-gram
+    hash is an 8-hex-char md5 prefix — chosen because both Spark and an
+    oracle engine compute the identical value (a production deployment
+    would swap in a rolling polynomial hash; the selection logic — the
+    actual winnowing — is hash-agnostic)."""
+    base = docs.select(F.col(id_col),
+                       normalized_text(F.col(text_col)).alias("t_"))
+    grams = F.when(
+        F.length("t_") >= k,
+        F.expr(f"transform(sequence(1, length(t_) - {k - 1}), "
+               f"i -> substring(md5(substring(t_, i, {k})), 1, 8))"),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(F.col(id_col), grams.alias("grams"))
+    mins = F.when(
+        F.size("grams") >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size("grams") - (window - 1)),
+            lambda j: F.array_min(F.slice(F.col("grams"), j, window)),
+        ),
+    ).otherwise(F.col("grams"))
+    return g.select(
+        F.col(id_col),
+        F.array_distinct(mins).alias("fingerprints"),
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct(mins)).alias("n_fingerprints"),
+    )
+
+
 def simhash_batch(texts: pd.Series, shingle_k: int = 4) -> np.ndarray:
     """Pure-numpy simhash batch — shared by the Spark UDF and the oracle
     fixture generator."""

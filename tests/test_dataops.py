@@ -656,6 +656,38 @@ class TestChunking:
                 assert prev_end < len(ws)
 
 
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, spark):
+        # the winnowing theorem: two docs sharing a substring of length
+        # >= window + k - 1 MUST share at least one fingerprint
+        import pandas as pd
+        from logparse_rs_spark.operators.dedup import winnow_fingerprints
+        k, w = 8, 16
+        shared = "x" * 0 + "the common shared passage appears here intact"
+        assert len(shared) >= w + k - 1
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"totally unrelated prefix alpha {shared} suffix one",
+                f"different beginning material {shared} and another end",
+                "no overlap with anything else entirely disjoint words",
+            ],
+        }))
+        fps = {r["doc_id"]: set(r["fingerprints"]) for r in
+               winnow_fingerprints(df, k=k, window=w).collect()}
+        assert fps[1] & fps[2], "shared substring must share a fingerprint"
+        # and the disjoint doc shares nothing with either
+        assert not (fps[3] & fps[1]) and not (fps[3] & fps[2])
+
+    def test_fingerprints_much_smaller_than_grams(self, spark, docs):
+        from logparse_rs_spark.operators.dedup import winnow_fingerprints
+        rows = winnow_fingerprints(docs.limit(30)).collect()
+        for r in rows:
+            if r["n_grams"] > 100:
+                # selection keeps ~2/(window+1) of positions
+                assert r["n_fingerprints"] < r["n_grams"] / 4
+
+
 class TestMixtureSample:
     def test_nested_and_invariant(self, spark, docs):
         from logparse_rs_spark.operators.text import mixture_sample
