@@ -556,6 +556,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              stride=48)
         return pack_chunks(ch, budget=256, n_buckets=8)
 
+    def log_url_canonicalize(spark, sf_dir):
+        # url canonicalization round-trip: inject deterministic mess per
+        # url (fragment / SHOUTED scheme / unsorted query / trailing
+        # slash, chosen by the last path digit), canonicalize, and check
+        # the mess collapses back — the n_canonical == n_urls equality is
+        # the real assertion, computed identically by the oracle
+        from logparse_rs_spark.operators.text import canonical_url
+        pages_path, _ = _fixture_paths(sf_dir)
+        urls = spark.read.parquet(pages_path).select("url").distinct()
+        d = F.pmod(F.substring(F.col("url"), -1, 1).cast("int"), F.lit(4))
+        messy = (F.when(d == 0, F.concat("url", F.lit("#frag")))
+                 .when(d == 1, F.regexp_replace(
+                     "url", "^https://", "HTTPS://"))
+                 .when(d == 2, F.concat("url", F.lit("?b=2&a=1")))
+                 .otherwise(F.concat("url", F.lit("/"))))
+        expected = (F.when(d == 2, F.concat("url", F.lit("?a=1&b=2")))
+                    .otherwise(F.col("url")))
+        t = urls.select(F.col("url").alias("orig"), messy.alias("messy"),
+                        expected.alias("expected"))
+        t = t.withColumn("canon", canonical_url(F.col("messy")))
+        return t.agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct("messy").alias("n_messy"),
+            F.count_distinct("canon").alias("n_canonical"),
+            F.sum((F.col("canon") == F.col("expected")).cast("long"))
+            .alias("n_roundtrip"))
+
     def doc_winnow_fp(spark, sf_dir):
         # winnowing (MOSS) local fingerprints: per-doc selected-hash set
         # stats + the lexicographic min fingerprint pinning content
@@ -791,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_score": doc_lm_score,
         "doc_mixture_sample": doc_mixture_sample,
         "doc_winnow_fp": doc_winnow_fp,
+        "log_url_canonicalize": log_url_canonicalize,
         "doc_rare_terms": doc_rare_terms,
         "doc_quality_topfrac": doc_quality_topfrac,
         "doc_length_bands": doc_length_bands,
@@ -1323,6 +1351,49 @@ def oracle_sql() -> dict[str, str]:
                       THEN r.pack + 1 ELSE r.pack END
           FROM ch c JOIN rec r ON c.bucket = r.bucket AND c.rn = r.rn + 1)
         SELECT doc_id, chunk_id, bucket, pack AS pack_id FROM rec
+    """
+    # url canonicalization: identical mess injection + identical
+    # canonicalization steps (RE2 replacement backrefs are \1 where
+    # Spark's Java syntax is $1 — same semantics)
+    d["log_url_canonicalize"] = f"""
+        WITH u AS (SELECT DISTINCT url FROM {E}),
+        m AS (SELECT url AS orig,
+                CASE CAST(substr(url, -1) AS INT) % 4
+                  WHEN 0 THEN url || '#frag'
+                  WHEN 1 THEN regexp_replace(url, '^https://', 'HTTPS://')
+                  WHEN 2 THEN url || '?b=2&a=1'
+                  ELSE url || '/' END AS messy,
+                CASE CAST(substr(url, -1) AS INT) % 4
+                  WHEN 2 THEN url || '?a=1&b=2' ELSE url END AS expected
+              FROM u),
+        s1 AS (SELECT orig, messy, expected,
+                      regexp_replace(messy, '#.*', '') AS u1 FROM m),
+        s2 AS (SELECT *,
+                 regexp_extract(u1,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0) AS pre0
+               FROM s1),
+        s3 AS (SELECT *,
+                 regexp_replace(regexp_replace(lower(pre0),
+                   '^(http://[^:]*):80$', '\\1'),
+                   '^(https://[^:]*):443$', '\\1') AS pre,
+                 substr(u1, length(pre0) + 1) AS rest
+               FROM s2),
+        s4 AS (SELECT *,
+                 regexp_replace(regexp_replace(rest, '\\?.*', ''),
+                                '/+$', '') AS path0,
+                 regexp_extract(rest, '\\?(.*)', 1) AS query
+               FROM s3),
+        c AS (SELECT orig, messy, expected,
+                pre || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+                    || (CASE WHEN query = '' THEN '' ELSE '?' ||
+                          array_to_string(list_sort(
+                            string_split(query, '&')), '&') END) AS canon
+              FROM s4)
+        SELECT COUNT(*) AS n_urls,
+               COUNT(DISTINCT messy) AS n_messy,
+               COUNT(DISTINCT canon) AS n_canonical,
+               SUM((canon = expected)::BIGINT) AS n_roundtrip
+        FROM c
     """
     # winnowing: same k-gram md5-prefix hashes, same window-min selection
     d["doc_winnow_fp"] = f"""

@@ -570,6 +570,32 @@ def fingerprint_sample(docs: DataFrame, modulus: int = 20, keep: int = 0,
     return docs.filter(F.pmod(fp, F.lit(modulus)) == F.lit(keep))
 
 
+def canonical_url(col) -> F.Column:
+    """URL canonicalization for web-corpus dedup keys: strip the
+    fragment, lowercase scheme+authority, drop default ports (:80 for
+    http, :443 for https), collapse trailing path slashes (empty path ->
+    '/'), and sort query parameters — so trivially-different spellings of
+    one resource collapse to one key before url-level dedup. Path CASE is
+    preserved (paths are case-sensitive). Returns a Column; pure JVM
+    string/regexp expressions, expressible identically in RE2-based
+    engines (every step avoids Java-only regex features)."""
+    u1 = F.regexp_replace(col, "#.*", "")
+    pre = F.regexp_extract(u1, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", 0)
+    rest = F.substring(u1, F.length(pre) + 1, F.lit(2_000_000_000))
+    pre = F.lower(pre)
+    pre = F.regexp_replace(pre, "^(http://[^:]*):80$", "$1")
+    pre = F.regexp_replace(pre, "^(https://[^:]*):443$", "$1")
+    path = F.regexp_replace(rest, r"\?.*", "")
+    query = F.regexp_extract(rest, r"\?(.*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    sorted_q = F.concat_ws("&", F.array_sort(F.split(query, "&")))
+    return F.concat(
+        pre, path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"),
+                                                          sorted_q)))
+
+
 def mixture_sample(docs: DataFrame, rates: dict, default_rate: float = 1.0,
                    group_col: str = "source", text_col: str = "text",
                    id_col: str = "doc_id", resolution: int = 10_000,

@@ -656,6 +656,42 @@ class TestChunking:
                 assert prev_end < len(ws)
 
 
+class TestCanonicalUrl:
+    def test_hand_written_vectors(self, spark):
+        import pandas as pd
+        from logparse_rs_spark.operators.text import canonical_url
+        cases = [
+            ("HTTPS://WWW.Example.COM/Path/To/Page#section",
+             "https://www.example.com/Path/To/Page"),
+            ("http://example.com:80/a", "http://example.com/a"),
+            ("https://example.com:443/a", "https://example.com/a"),
+            ("https://example.com:8443/a", "https://example.com:8443/a"),
+            ("https://example.com", "https://example.com/"),
+            ("https://example.com///", "https://example.com/"),
+            ("https://example.com/x?b=2&a=1&c=3",
+             "https://example.com/x?a=1&b=2&c=3"),
+            ("https://example.com/x?b=2&a=1#frag",
+             "https://example.com/x?a=1&b=2"),
+            ("http://h/CaseSensitivePath", "http://h/CaseSensitivePath"),
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame(cases, columns=["url", "want"]))
+        got = df.select("url", "want",
+                        canonical_url(F.col("url")).alias("canon")).collect()
+        for r in got:
+            assert r["canon"] == r["want"], r["url"]
+
+    def test_idempotent(self, spark):
+        import pandas as pd
+        from logparse_rs_spark.operators.text import canonical_url
+        urls = ["HTTPS://A.B:443/x/?z=1&y=2#f", "http://c.d:80//p//"]
+        df = spark.createDataFrame(pd.DataFrame({"url": urls}))
+        once = df.select(canonical_url(F.col("url")).alias("u"))
+        twice = once.select(canonical_url(F.col("u")).alias("u"))
+        assert [r["u"] for r in once.collect()] == \
+               [r["u"] for r in twice.collect()]
+
+
 class TestWinnowing:
     def test_shared_substring_guarantee(self, spark):
         # the winnowing theorem: two docs sharing a substring of length
