@@ -770,6 +770,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("event_id", "user_id", ts_us.alias("ts_us"),
                         F.sum(cents).over(w).alias("running_cents")))
 
+    # ---- corpus-curation queries (operators/curate.py) --------------------
+
+    def _multiline_docs(spark, sf_dir):
+        # deterministic multi-line corpus for the line-granularity
+        # operators (the documents fixture is single-line): per doc, wrap
+        # the body in injected boilerplate lines chosen by doc_id residues
+        # — b1 (~1/3 of docs) and b2 (1/2) land far above the df threshold
+        # and must be removed; the b3 cookie variants (~4-5 docs each at
+        # sf0.01) stay below it and must survive. Construction mirrored
+        # exactly in the oracle SQL (concat_ws skips the NULL branches in
+        # both engines).
+        d = _docs(spark, sf_dir)
+        parts = F.array(
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("subscribe to our newsletter")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("all rights reserved")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit("cookie notice level "),
+                            (F.col("doc_id") % 120).cast("string"))),
+        )
+        mtext = F.array_join(F.filter(parts, lambda x: x.isNotNull()), "\n")
+        return d.select("doc_id", mtext.alias("text"))
+
+    def doc_boilerplate_lines(spark, sf_dir):
+        # C4/CCNet-style line-frequency boilerplate removal: lines in
+        # >= 50 distinct docs are dropped, everything else survives in
+        # order; per-doc md5 pins the reassembled bytes
+        from logparse_rs_spark.operators.curate import remove_frequent_lines
+        out = remove_frequent_lines(_multiline_docs(spark, sf_dir),
+                                    min_docs=50)
+        return out.select("doc_id", F.md5("text_clean").alias("clean_md5"),
+                          "n_lines", "n_kept")
+
+    def doc_paragraph_dedup(spark, sf_dir):
+        # cross-document exact paragraph dedup, keep-first by (doc_id,
+        # pos): the RefinedWeb/Dolma inter-document repetition recipe at
+        # paragraph granularity
+        from logparse_rs_spark.operators.curate import dedup_paragraphs
+        out = dedup_paragraphs(_multiline_docs(spark, sf_dir))
+        return out.select("doc_id", F.md5("text_clean").alias("clean_md5"),
+                          "n_lines", "n_kept")
+
+    def doc_gopher_quality(spark, sf_dir):
+        # Gopher-style quality rules in exact integer arithmetic (word
+        # count / mean word length / alpha fraction / symbol ratio /
+        # stopword presence) — scan-side, no shuffle
+        from logparse_rs_spark.operators.curate import gopher_quality
+        return gopher_quality(_docs(spark, sf_dir))
+
+    def log_recrawl_latest(spark, sf_dir):
+        # newest-capture-per-canonical-URL (recrawl dedup): crawl groups
+        # synthesized from the page number (pagenum % 100 within host),
+        # winner = max warc_ts with url tie-break; ts emitted as epoch
+        # micros BIGINT (timestamp-normalization-proof, the r3 lesson)
+        from logparse_rs_spark.operators.curate import latest_by_key
+        pages_path, _ = _fixture_paths(sf_dir)
+        pages = spark.read.parquet(pages_path)
+        host = F.regexp_extract("url", "^[a-z]+://([^/]+)", 1)
+        pagenum = F.regexp_extract("url", "([0-9]{6})$", 1).cast("long")
+        t = pages.select(
+            F.concat_ws("#", host, (pagenum % 100).cast("string"))
+            .alias("crawl_key"),
+            "url", F.unix_micros("warc_ts").alias("ts_us"))
+        return latest_by_key(t, ["crawl_key"], "ts_us", ["url"])
+
+    def log_blocklist_filter(spark, sf_dir):
+        # host blocklist gate (broadcast anti-join; the corpus never
+        # shuffles): blocklist = every 7th fixture domain (includes both
+        # hot domains) — survivor volume per lang
+        from logparse_rs_spark.fixtures import DOMAINS
+        from logparse_rs_spark.operators.curate import filter_blocked_hosts
+        blocked = [d for i, d in enumerate(DOMAINS) if i % 7 == 0]
+        blocked.append("hot-a.example.com")
+        pages_path, _ = _fixture_paths(sf_dir)
+        pages = spark.read.parquet(pages_path)
+        surv = filter_blocked_hosts(pages, blocked)
+        return surv.groupBy("lang").agg(
+            F.count("*").alias("n_pages"),
+            F.count_distinct("host").alias("n_hosts"))
+
     return {
         "log_route_counts": log_route_counts,
         "log_status_counts": log_status_counts,
@@ -829,6 +910,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cluster_dedup_stats": doc_cluster_dedup_stats,
         "tpch_q18ish": tpch_q18ish,
         "doc_lang_rebalance": doc_lang_rebalance,
+        "doc_boilerplate_lines": doc_boilerplate_lines,
+        "doc_paragraph_dedup": doc_paragraph_dedup,
+        "doc_gopher_quality": doc_gopher_quality,
+        "log_recrawl_latest": log_recrawl_latest,
+        "log_blocklist_filter": log_blocklist_filter,
     }
 
 
@@ -852,6 +938,8 @@ def oracle_sql() -> dict[str, str]:
     # \x0B, so \s in an oracle is a latent tokenizer mismatch (ADVICE r3)
     from logparse_rs_spark.operators.dedup import (
         WORD_SPLIT_CLASS as WSP, WS_CHARS)
+    from logparse_rs_spark.fixtures import DOMAINS as _DOMAINS
+    from logparse_rs_spark.operators.text import STOPWORDS as _STOPWORDS
     SYMCLS = f"[A-Za-z0-9{WS_CHARS}]"
     integrity_union = " UNION ALL ".join(
         f"SELECT '{d}' AS field, {d} AS original, {d}_anon AS replacement "
@@ -1626,4 +1714,112 @@ def oracle_sql() -> dict[str, str]:
           AND l.lang_pred <> 'unknown'
         GROUP BY d.lang
     '''
+    # ---- corpus-curation oracles (operators/curate.py) --------------------
+    # shared multi-line construction, mirroring _multiline_docs exactly
+    # (concat_ws skips NULL CASE branches in both engines)
+    _multi = """
+        SELECT doc_id, concat_ws(chr(10),
+            CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' END,
+            text,
+            CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved' END,
+            CASE WHEN doc_id % 5 = 0
+                 THEN 'cookie notice level ' || (doc_id % 120)::VARCHAR END
+          ) AS mtext
+        FROM documents
+    """
+    _mlines = """
+        SELECT doc_id, generate_subscripts(sp, 1) - 1 AS pos,
+               unnest(sp) AS line
+        FROM (SELECT doc_id, string_split(mtext, chr(10)) AS sp FROM multi)
+    """
+    d["doc_boilerplate_lines"] = f"""
+        WITH multi AS ({_multi}),
+        lines AS ({_mlines}),
+        freq AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+                 FROM lines WHERE line <> '' GROUP BY line),
+        kept AS (SELECT l.doc_id, l.pos, l.line
+                 FROM lines l LEFT JOIN freq f USING (line)
+                 WHERE l.line = '' OR f.df IS NULL OR f.df < 50),
+        re AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cl,
+                      COUNT(*) AS n_kept
+               FROM kept GROUP BY doc_id)
+        SELECT m.doc_id, md5(coalesce(re.cl, '')) AS clean_md5,
+               len(string_split(m.mtext, chr(10)))::BIGINT AS n_lines,
+               coalesce(re.n_kept, 0)::BIGINT AS n_kept
+        FROM multi m LEFT JOIN re USING (doc_id)
+    """
+    d["doc_paragraph_dedup"] = f"""
+        WITH multi AS ({_multi}),
+        lines AS ({_mlines}),
+        rk AS (SELECT doc_id, pos, line,
+                      row_number() OVER (PARTITION BY line
+                                         ORDER BY doc_id, pos) AS rn
+               FROM lines WHERE line <> ''),
+        kept AS (SELECT doc_id, pos, line FROM rk WHERE rn = 1
+                 UNION ALL
+                 SELECT doc_id, pos, line FROM lines WHERE line = ''),
+        re AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cl,
+                      COUNT(*) AS n_kept
+               FROM kept GROUP BY doc_id)
+        SELECT m.doc_id, md5(coalesce(re.cl, '')) AS clean_md5,
+               len(string_split(m.mtext, chr(10)))::BIGINT AS n_lines,
+               coalesce(re.n_kept, 0)::BIGINT AS n_kept
+        FROM multi m LEFT JOIN re USING (doc_id)
+    """
+    _stoplist = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+    d["doc_gopher_quality"] = f"""
+        WITH w AS (SELECT doc_id, text,
+                          list_filter(string_split_regex(lower(text),
+                                                         '{WSP}'),
+                                      x -> x <> '') AS ws
+                   FROM documents),
+        m AS (SELECT doc_id,
+                     len(ws)::BIGINT AS n_words,
+                     coalesce(list_sum(list_transform(ws,
+                                                      x -> length(x))),
+                              0)::BIGINT AS n_word_chars,
+                     len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                       ::BIGINT AS n_alpha_words,
+                     len(list_intersect(list_distinct(ws), {_stoplist}))
+                       ::BIGINT AS n_stopwords,
+                     (length(text) - length(replace(text, '#', '')))
+                       ::BIGINT AS n_hash,
+                     ((length(text) - length(replace(text, '...', '')))
+                       // 3)::BIGINT AS n_ellipsis
+              FROM w)
+        SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stopwords,
+               n_hash, n_ellipsis,
+               (n_words BETWEEN 50 AND 100000
+                AND 3 * n_words <= n_word_chars
+                AND n_word_chars <= 10 * n_words
+                AND 5 * n_alpha_words >= 4 * n_words
+                AND n_hash * 10 <= n_words
+                AND n_ellipsis * 10 <= n_words
+                AND n_stopwords >= 2)::INT AS keep
+        FROM m
+    """
+    d["log_recrawl_latest"] = f"""
+        WITH p AS (SELECT url, epoch_us(warc_ts) AS ts_us,
+                          regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                            AS host,
+                          CAST(regexp_extract(url, '([0-9]{{6}})$', 1)
+                               AS BIGINT) AS pagenum
+                   FROM read_parquet('{pages_path}'))
+        SELECT concat(host, '#', (pagenum % 100)::VARCHAR) AS crawl_key,
+               arg_max(url, ts_us) AS url,
+               max(ts_us) AS latest_ts_us,
+               COUNT(*) AS n_versions
+        FROM p GROUP BY crawl_key
+    """
+    _blocked = [dom for i, dom in enumerate(_DOMAINS) if i % 7 == 0]
+    _blocked.append("hot-a.example.com")
+    _blocked_sql = ", ".join(f"'{h}'" for h in sorted(set(_blocked)))
+    d["log_blocklist_filter"] = f"""
+        SELECT lang, COUNT(*) AS n_pages, COUNT(DISTINCT host) AS n_hosts
+        FROM (SELECT lang,
+                     regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+              FROM read_parquet('{pages_path}'))
+        WHERE host NOT IN ({_blocked_sql})
+        GROUP BY lang
+    """
     return d

@@ -1,0 +1,130 @@
+"""Corpus-curation operators: boilerplate line removal, paragraph dedup,
+Gopher quality rules, newest-per-key, host blocklist."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRemoveFrequentLines:
+    def test_removes_only_frequent_lines(self, spark):
+        from logparse_rs_spark.operators.curate import remove_frequent_lines
+
+        boiler = "subscribe now"
+        rows = [(i, f"body {i}\n{boiler}\nunique tail {i}")
+                for i in range(10)]
+        rows.append((99, "no boiler here"))
+        out = remove_frequent_lines(_docs(spark, rows), min_docs=5)
+        got = {r.doc_id: r for r in out.collect()}
+        assert got[0].text_clean == "body 0\nunique tail 0"
+        assert got[0].n_lines == 3 and got[0].n_kept == 2
+        assert got[99].text_clean == "no boiler here"
+        assert got[99].n_kept == 1
+
+    def test_df_counts_distinct_docs_not_occurrences(self, spark):
+        from logparse_rs_spark.operators.curate import remove_frequent_lines
+
+        # one doc repeats a line 10 times; df is 1, so it survives
+        rows = [(1, "\n".join(["echo"] * 10)), (2, "other")]
+        out = remove_frequent_lines(_docs(spark, rows), min_docs=5)
+        got = {r.doc_id: r for r in out.collect()}
+        assert got[1].n_kept == 10
+
+    def test_empty_lines_survive_and_fully_removed_doc_is_empty(self, spark):
+        from logparse_rs_spark.operators.curate import remove_frequent_lines
+
+        rows = [(i, "spam line") for i in range(6)]
+        rows.append((10, "a\n\nb"))
+        out = remove_frequent_lines(_docs(spark, rows), min_docs=5)
+        got = {r.doc_id: r for r in out.collect()}
+        assert got[0].text_clean == "" and got[0].n_kept == 0
+        assert got[10].text_clean == "a\n\nb"
+
+
+class TestDedupParagraphs:
+    def test_keep_first_occurrence(self, spark):
+        from logparse_rs_spark.operators.curate import dedup_paragraphs
+
+        rows = [(1, "shared para\nown 1"), (2, "own 2\nshared para"),
+                (3, "shared para")]
+        out = dedup_paragraphs(_docs(spark, rows))
+        got = {r.doc_id: r for r in out.collect()}
+        # (1, 0) is the smallest (doc_id, pos) for "shared para"
+        assert got[1].text_clean == "shared para\nown 1"
+        assert got[2].text_clean == "own 2"
+        assert got[3].text_clean == "" and got[3].n_kept == 0
+
+    def test_within_doc_repeats_collapse_to_first(self, spark):
+        from logparse_rs_spark.operators.curate import dedup_paragraphs
+
+        out = dedup_paragraphs(_docs(spark, [(1, "x\ny\nx\nx")]))
+        assert out.collect()[0].text_clean == "x\ny"
+
+    def test_distinct_line_multiset_preserved(self, spark):
+        from logparse_rs_spark.operators.curate import dedup_paragraphs
+
+        rows = [(i, f"common\nself {i}") for i in range(5)]
+        out = dedup_paragraphs(_docs(spark, rows))
+        kept = [l for r in out.collect() if r.text_clean
+                for l in r.text_clean.split("\n")]
+        # every distinct non-empty input line survives exactly once
+        assert sorted(kept) == sorted(
+            {"common"} | {f"self {i}" for i in range(5)})
+
+
+class TestGopherQuality:
+    def test_integer_rules(self, spark):
+        from logparse_rs_spark.operators.curate import gopher_quality
+
+        good = " ".join(["the", "a"] + [f"word{i:03d}" for i in range(60)])
+        short = "the a tiny"
+        nostop = " ".join(f"tok{i:03d}" for i in range(60))
+        numeric = " ".join(["the", "a"] + ["12345"] * 60)
+        out = gopher_quality(_docs(spark, [
+            (1, good), (2, short), (3, nostop), (4, numeric)]))
+        got = {r.doc_id: r for r in out.collect()}
+        assert got[1].keep == 1
+        assert got[2].keep == 0          # word count below floor
+        assert got[3].keep == 0          # < 2 stopwords
+        assert got[4].keep == 0          # alpha-word fraction below 80%
+        assert got[1].n_words == 62 and got[1].n_stopwords == 2
+
+    def test_symbol_ratio(self, spark):
+        from logparse_rs_spark.operators.curate import gopher_quality
+
+        hashy = " ".join(["the", "a"] + [f"w{i:04d}" for i in range(58)]) \
+            + " " + "#" * 20
+        out = gopher_quality(_docs(spark, [(1, hashy)]))
+        r = out.collect()[0]
+        assert r.n_hash == 20 and r.keep == 0
+
+
+class TestLatestByKey:
+    def test_newest_wins_with_tiebreak(self, spark):
+        from logparse_rs_spark.operators.curate import latest_by_key
+
+        df = spark.createDataFrame(
+            [("k1", 1, "a"), ("k1", 3, "b"), ("k1", 3, "c"), ("k2", 9, "z")],
+            "k string, ts long, url string")
+        out = latest_by_key(df, ["k"], "ts", ["url"])
+        got = {r.k: r for r in out.collect()}
+        assert got["k1"].url == "c"          # ts tie -> max payload
+        assert got["k1"].latest_ts == 3 and got["k1"].n_versions == 3
+        assert got["k2"].url == "z" and got["k2"].n_versions == 1
+
+
+class TestFilterBlockedHosts:
+    def test_anti_join_and_plan_is_broadcast(self, spark):
+        from logparse_rs_spark.operators.curate import filter_blocked_hosts
+
+        pages = spark.createDataFrame(
+            [("https://bad.example.com/p1", 1),
+             ("https://ok.example.com/p2", 2)],
+            "url string, n long")
+        out = filter_blocked_hosts(pages, ["bad.example.com"])
+        assert [r.url for r in out.collect()] == ["https://ok.example.com/p2"]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
