@@ -820,6 +820,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from logparse_rs_spark.operators.curate import gopher_quality
         return gopher_quality(_docs(spark, sf_dir))
 
+    def _lined_docs(spark, sf_dir):
+        # deterministic WITHIN-doc line structure for repetition scoring:
+        # 8-word lines from the body, plus the first line repeated at the
+        # end for doc_id % 4 == 0 (a quarter of docs carry a real
+        # duplicate line). Mirrored exactly in the oracle SQL.
+        d = _docs(spark, sf_dir)
+        words = F.filter(F.split(F.col("text"), " ", -1),
+                         lambda x: x != "")
+        nl = F.greatest(F.ceil(F.size(words) / F.lit(8)), F.lit(1).cast("long"))
+        lines = F.transform(
+            F.sequence(F.lit(0).cast("long"), nl - 1),
+            lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "))
+        lined = F.when(F.col("doc_id") % 4 == 0,
+                       F.concat(lines, F.array(lines[0]))).otherwise(lines)
+        return d.select("doc_id", F.array_join(lined, "\n").alias("text"))
+
+    def doc_gopher_repetition(spark, sf_dir):
+        # Gopher-style within-doc repetition signals (duplicate lines,
+        # most-common word bigram) — zero-shuffle scan-side projection
+        from logparse_rs_spark.operators.curate import gopher_repetition
+        return gopher_repetition(_lined_docs(spark, sf_dir))
+
+    def doc_token_budget(spark, sf_dir):
+        # per-source TOKEN budget cap (corpus mixing in token units):
+        # srcs 0-4 capped at 1200 tokens, 5-9 at 600, rest uncapped;
+        # survivors decided by reference-FNV fingerprint order
+        from logparse_rs_spark.operators.curate import token_budget_cap
+        budgets = {f"src{i}": 1200 for i in range(5)}
+        budgets.update({f"src{i}": 600 for i in range(5, 10)})
+        kept = token_budget_cap(_docs(spark, sf_dir), budgets,
+                                exact_fnv=True)
+        return kept.groupBy("source").agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_tokens").alias("kept_tokens"),
+            F.max("running_tokens").alias("max_running"))
+
     def log_recrawl_latest(spark, sf_dir):
         # newest-capture-per-canonical-URL (recrawl dedup): crawl groups
         # synthesized from the page number (pagenum % 100 within host),
@@ -913,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate_lines": doc_boilerplate_lines,
         "doc_paragraph_dedup": doc_paragraph_dedup,
         "doc_gopher_quality": doc_gopher_quality,
+        "doc_gopher_repetition": doc_gopher_repetition,
+        "doc_token_budget": doc_token_budget,
         "log_recrawl_latest": log_recrawl_latest,
         "log_blocklist_filter": log_blocklist_filter,
     }
@@ -1797,6 +1835,83 @@ def oracle_sql() -> dict[str, str]:
                 AND n_ellipsis * 10 <= n_words
                 AND n_stopwords >= 2)::INT AS keep
         FROM m
+    """
+    # lined construction mirroring _lined_docs: 8-word lines, first line
+    # repeated at the end for doc_id % 4 == 0
+    _lined = """
+        SELECT doc_id, array_to_string(
+            CASE WHEN doc_id % 4 = 0 THEN list_append(ls, ls[1])
+                 ELSE ls END, chr(10)) AS text
+        FROM (SELECT doc_id,
+                     list_transform(
+                       range(0, greatest(cast(ceil(len(ws) / 8.0) AS BIGINT),
+                                         1)),
+                       i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) AS ls
+              FROM (SELECT doc_id,
+                           list_filter(string_split(text, ' '),
+                                       x -> x <> '') AS ws
+                    FROM documents))
+    """
+    d["doc_gopher_repetition"] = f"""
+        WITH lt AS ({_lined}),
+        lc AS (SELECT doc_id, line, COUNT(*) AS c
+               FROM (SELECT doc_id,
+                            unnest(string_split(text, chr(10))) AS line
+                     FROM lt)
+               GROUP BY doc_id, line),
+        lstat AS (SELECT doc_id, SUM(c)::BIGINT AS n_lines,
+                         SUM(c - 1)::BIGINT AS n_dup_lines,
+                         SUM((c - 1) * length(line))::BIGINT
+                           AS dup_line_chars
+                  FROM lc GROUP BY doc_id),
+        wt AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '{WSP}'),
+                                  x -> x <> '') AS ws
+               FROM lt),
+        gl AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(ws)),
+                                            i -> ws[i] || ' ' || ws[i+1]))
+                        AS gram
+               FROM wt),
+        gc AS (SELECT doc_id, gram, COUNT(*) AS c
+               FROM gl GROUP BY doc_id, gram),
+        top AS (SELECT doc_id, gram, c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, gram ASC) AS rn
+                FROM gc)
+        SELECT s.doc_id, s.n_lines, s.n_dup_lines, s.dup_line_chars,
+               greatest(len(w.ws) - 1, 0)::BIGINT AS n_bigrams,
+               coalesce(t.gram, '') AS top_bigram,
+               coalesce(t.c, 0)::BIGINT AS top_bigram_count,
+               (coalesce(t.c, 0) * length(coalesce(t.gram, '')))::BIGINT
+                 AS top_bigram_chars
+        FROM lstat s
+        JOIN wt w USING (doc_id)
+        LEFT JOIN (SELECT doc_id, gram, c FROM top WHERE rn = 1) t
+          USING (doc_id)
+    """
+    d["doc_token_budget"] = f"""
+        WITH t AS (
+          SELECT d.doc_id, d.source,
+                 len(list_filter(string_split_regex(lower(d.text), '{WSP}'),
+                                 x -> x <> ''))::BIGINT AS n_tokens,
+                 a.fingerprint
+          FROM documents d JOIN {DOC_AUX} a ON d.doc_id = a.doc_id),
+        r AS (
+          SELECT source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY fingerprint, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS running,
+                 CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                        THEN 1200
+                      WHEN source IN ('src5','src6','src7','src8','src9')
+                        THEN 600 END AS budget
+          FROM t)
+        SELECT source, COUNT(*) AS kept_docs,
+               SUM(n_tokens)::BIGINT AS kept_tokens,
+               MAX(running)::BIGINT AS max_running
+        FROM r WHERE budget IS NULL OR running <= budget
+        GROUP BY source
     """
     d["log_recrawl_latest"] = f"""
         WITH p AS (SELECT url, epoch_us(warc_ts) AS ts_us,

@@ -169,6 +169,114 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
         keep.cast("int").alias("keep"))
 
 
+def gopher_repetition(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style (Rae et al. 2021) within-document repetition signals:
+    duplicate-line count and characters, plus the most common word bigram
+    and the characters it covers. Everything is doc-local, so the whole
+    operator is ONE zero-shuffle projection over the scan — repetition
+    scoring of a 10^12-doc corpus never moves data, the ideal shape. (An
+    explode+groupBy(doc, line) formulation computes the same numbers but
+    shuffles the exploded corpus; doc-local array ops win at any scale.
+    Duplicate-line detection is O(L log L) per doc via a sorted-adjacent
+    scan, not O(L^2) nested filters.)
+
+    Mode tie-break: among equal-count bigrams the lexicographically
+    smallest wins (sorted array + strict-greater update), matching
+    ORDER BY count DESC, gram ASC in SQL. Integer outputs only."""
+    text = F.col(text_col)
+    lines = F.split(text, LINE_SEP, -1)
+    n_lines = F.size(lines).cast("long")
+    sl = F.array_sort(lines)
+    n_dup_lines = (n_lines - F.size(F.array_distinct(lines))).cast("long")
+    # chars in duplicate line occurrences (every occurrence beyond the
+    # first): adjacent-equal scan over the sorted array
+    adj = F.zip_with(
+        F.slice(sl, 1, F.greatest(F.size(sl) - 1, F.lit(0))),
+        F.slice(sl, 2, F.greatest(F.size(sl) - 1, F.lit(0))),
+        lambda a, b: F.when(a == b, F.length(b)).otherwise(F.lit(0)))
+    dup_line_chars = F.aggregate(
+        adj, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    words = _words(text)
+    nw = F.size(words)
+    grams = F.array_sort(F.zip_with(
+        F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(nw - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b)))
+    # mode of the sorted gram array via a running (current-run, best-run)
+    # accumulator; strict > keeps the first (smallest) gram on ties
+    acc0 = F.struct(F.lit("").alias("cur"), F.lit(0).cast("long").alias("c"),
+                    F.lit("").alias("best"),
+                    F.lit(0).cast("long").alias("bc"))
+
+    def step(acc, x):
+        nc = F.when(x == acc["cur"], acc["c"] + 1).otherwise(F.lit(1))
+        better = nc > acc["bc"]
+        return F.struct(
+            x.alias("cur"), nc.alias("c"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+            F.when(better, nc).otherwise(acc["bc"]).alias("bc"))
+
+    mode = F.aggregate(grams, acc0, step)
+    return docs.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        n_dup_lines.alias("n_dup_lines"),
+        dup_line_chars.alias("dup_line_chars"),
+        F.size(grams).cast("long").alias("n_bigrams"),
+        mode["best"].alias("top_bigram"),
+        mode["bc"].alias("top_bigram_count"),
+        (mode["bc"] * F.length(mode["best"])).cast("long")
+        .alias("top_bigram_chars"))
+
+
+def token_budget_cap(docs: DataFrame, budgets: dict,
+                     default_budget: int | None = None,
+                     group_col: str = "source", text_col: str = "text",
+                     id_col: str = "doc_id",
+                     exact_fnv: bool = False) -> DataFrame:
+    """Cap each group (source/domain/lang) at a TOKEN budget instead of a
+    document quota — the unit corpus mixing is actually planned in. A doc
+    survives iff the cumulative token count of the group's docs up to and
+    including it (in content-fingerprint order: deterministic,
+    partitioning- and input-order-independent, same ordering rule as
+    rebalance_by_group) stays <= the group's budget; groups without a
+    budget pass through (default_budget=None) or get default_budget.
+
+    Scale shape: one running-sum window per group. Unlike the rank-limit
+    in rebalance_by_group, SUM has no WindowGroupLimit pushdown, so a
+    skewed giant group does sort on one reducer; the mitigation at 10^12
+    rows is a pre-pass that range-partitions the group by fingerprint and
+    accumulates per-range subtotals (two jobs), worth it only when one
+    group exceeds a partition. Emits the surviving docs plus their token
+    count and running total."""
+    from pyspark.sql import Window
+
+    from .dedup import normalized_text
+
+    if exact_fnv:
+        # reference FNV-1a fingerprint (oracle-replicable via the refimpl
+        # aux table, same convention as rebalance_by_group)
+        from ..functions import fnv1a_col
+        fp = fnv1a_col(normalized_text(F.col(text_col)))
+    else:
+        fp = F.xxhash64(normalized_text(F.col(text_col)))
+    n_tokens = F.size(_words(F.col(text_col))).cast("long")
+    w = (Window.partitionBy(group_col).orderBy("fp", id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    items = [F.lit(x) for kv in sorted(budgets.items()) for x in kv]
+    budget = F.coalesce(
+        F.element_at(F.create_map(*items), F.col(group_col)).cast("long"),
+        F.lit(default_budget).cast("long"))
+    t = (docs.withColumn("fp", fp)
+         .withColumn("n_tokens", n_tokens)
+         .withColumn("running_tokens", F.sum("n_tokens").over(w))
+         .withColumn("budget", budget))
+    return (t.filter(F.col("budget").isNull()
+                     | (F.col("running_tokens") <= F.col("budget")))
+            .drop("fp"))
+
+
 def latest_by_key(df: DataFrame, key_cols: Sequence[str], order_col: str,
                   payload_cols: Sequence[str]) -> DataFrame:
     """Newest-row-per-key (the recrawl dedup of a web corpus: keep the

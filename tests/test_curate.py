@@ -102,6 +102,69 @@ class TestGopherQuality:
         assert r.n_hash == 20 and r.keep == 0
 
 
+class TestGopherRepetition:
+    def test_dup_lines_and_top_bigram(self, spark):
+        from logparse_rs_spark.operators.curate import gopher_repetition
+
+        rows = [
+            (1, "alpha beta\ngamma delta\nalpha beta"),
+            (2, "x y x y x y"),
+            (3, "solo"),
+        ]
+        out = gopher_repetition(_docs(spark, rows))
+        got = {r.doc_id: r for r in out.collect()}
+        r1 = got[1]
+        assert r1.n_lines == 3 and r1.n_dup_lines == 1
+        assert r1.dup_line_chars == len("alpha beta")
+        # bigrams of doc1: 'beta gamma' etc. each once -> smallest wins
+        assert r1.top_bigram_count == 2 and r1.top_bigram == "alpha beta"
+        r2 = got[2]
+        assert r2.top_bigram == "x y" and r2.top_bigram_count == 3
+        assert r2.n_bigrams == 5
+        r3 = got[3]
+        assert r3.n_bigrams == 0 and r3.top_bigram == "" \
+            and r3.top_bigram_count == 0
+
+    def test_tie_breaks_to_smallest_gram(self, spark):
+        from logparse_rs_spark.operators.curate import gopher_repetition
+
+        out = gopher_repetition(_docs(spark, [(1, "b c a b c a")]))
+        r = out.collect()[0]
+        # 'a b', 'b c', 'c a' counts 1/2/2 -> tie between 'b c' and 'c a'
+        assert r.top_bigram == "b c" and r.top_bigram_count == 2
+
+
+class TestTokenBudgetCap:
+    def test_budget_respected_in_fingerprint_order(self, spark):
+        from logparse_rs_spark.operators.curate import token_budget_cap
+
+        rows = [(i, " ".join(f"w{i}x{j}" for j in range(10)), "s1")
+                for i in range(10)]
+        rows += [(100 + i, "tiny text", "s2") for i in range(3)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        out = token_budget_cap(df, {"s1": 35}).collect()
+        s1 = [r for r in out if r.source == "s1"]
+        s2 = [r for r in out if r.source == "s2"]
+        # 10-token docs against a 35-token budget -> exactly 3 survive
+        assert len(s1) == 3
+        assert max(r.running_tokens for r in s1) == 30
+        # no budget + default None -> pass through untouched
+        assert len(s2) == 3 and all(r.budget is None for r in s2)
+
+    def test_survivors_are_partitioning_independent(self, spark):
+        from logparse_rs_spark.operators.curate import token_budget_cap
+
+        rows = [(i, " ".join(f"t{i}w{j}" for j in range(5)), "s")
+                for i in range(20)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        a = {r.doc_id for r in token_budget_cap(df, {"s": 40}).collect()}
+        b = {r.doc_id for r in
+             token_budget_cap(df.repartition(7), {"s": 40}).collect()}
+        assert a == b and len(a) == 8
+
+
 class TestLatestByKey:
     def test_newest_wins_with_tiebreak(self, spark):
         from logparse_rs_spark.operators.curate import latest_by_key
