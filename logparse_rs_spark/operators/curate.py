@@ -234,7 +234,8 @@ def token_budget_cap(docs: DataFrame, budgets: dict,
                      default_budget: int | None = None,
                      group_col: str = "source", text_col: str = "text",
                      id_col: str = "doc_id",
-                     exact_fnv: bool = False) -> DataFrame:
+                     exact_fnv: bool = False,
+                     two_phase: bool = False) -> DataFrame:
     """Cap each group (source/domain/lang) at a TOKEN budget instead of a
     document quota — the unit corpus mixing is actually planned in. A doc
     survives iff the cumulative token count of the group's docs up to and
@@ -243,13 +244,19 @@ def token_budget_cap(docs: DataFrame, budgets: dict,
     rebalance_by_group) stays <= the group's budget; groups without a
     budget pass through (default_budget=None) or get default_budget.
 
-    Scale shape: one running-sum window per group. Unlike the rank-limit
-    in rebalance_by_group, SUM has no WindowGroupLimit pushdown, so a
-    skewed giant group does sort on one reducer; the mitigation at 10^12
-    rows is a pre-pass that range-partitions the group by fingerprint and
-    accumulates per-range subtotals (two jobs), worth it only when one
-    group exceeds a partition. Emits the surviving docs plus their token
-    count and running total."""
+    Scale shape: unlike the rank-limit in rebalance_by_group, a running
+    SUM has no WindowGroupLimit pushdown, so the default single window
+    sorts each group on one reducer — fine until one group outgrows a
+    partition. two_phase=True is the 10^12-row form: the signed
+    fingerprint's top byte is an ORDER-PRESERVING range bucket (same fp
+    -> same bucket, lower fp -> lower-or-equal bucket), so the global
+    running sum decomposes exactly into (sum of all lower buckets'
+    subtotals) + (running sum within the bucket). Subtotals are one tiny
+    hash agg (<= 256 rows per group) broadcast back, and the within-
+    bucket windows run 256-way parallel per group — no single-reducer
+    sort anywhere, at the cost of scanning the input twice. Emits the
+    surviving docs plus their token count and running total, identical
+    rows from both strategies (property-tested)."""
     from pyspark.sql import Window
 
     from .dedup import normalized_text
@@ -262,16 +269,36 @@ def token_budget_cap(docs: DataFrame, budgets: dict,
     else:
         fp = F.xxhash64(normalized_text(F.col(text_col)))
     n_tokens = F.size(_words(F.col(text_col))).cast("long")
-    w = (Window.partitionBy(group_col).orderBy("fp", id_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     items = [F.lit(x) for kv in sorted(budgets.items()) for x in kv]
     budget = F.coalesce(
         F.element_at(F.create_map(*items), F.col(group_col)).cast("long"),
         F.lit(default_budget).cast("long"))
-    t = (docs.withColumn("fp", fp)
-         .withColumn("n_tokens", n_tokens)
-         .withColumn("running_tokens", F.sum("n_tokens").over(w))
-         .withColumn("budget", budget))
+    base = docs.withColumn("fp", fp).withColumn("n_tokens", n_tokens)
+    if two_phase:
+        # arithmetic shift keeps signed order: bucket ascends with fp
+        bucket = F.shiftright(F.col("fp"), 56).cast("int")
+        base = base.withColumn("bucket", bucket)
+        sub = base.groupBy(group_col, "bucket").agg(
+            F.sum("n_tokens").alias("bsum"))
+        woff = (Window.partitionBy(group_col).orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1))
+        off = (sub.withColumn(
+            "offset", F.coalesce(F.sum("bsum").over(woff),
+                                 F.lit(0).cast("long")))
+            .drop("bsum"))
+        wloc = (Window.partitionBy(group_col, "bucket")
+                .orderBy("fp", id_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        t = (base.join(F.broadcast(off), [group_col, "bucket"])
+             .withColumn("running_tokens",
+                         F.col("offset") + F.sum("n_tokens").over(wloc))
+             .withColumn("budget", budget)
+             .drop("bucket", "offset"))
+    else:
+        w = (Window.partitionBy(group_col).orderBy("fp", id_col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        t = (base.withColumn("running_tokens", F.sum("n_tokens").over(w))
+             .withColumn("budget", budget))
     return (t.filter(F.col("budget").isNull()
                      | (F.col("running_tokens") <= F.col("budget")))
             .drop("fp"))
