@@ -351,6 +351,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.35,
                              bands=16)
 
+    def emb_semdedup(spark, sf_dir):
+        # SemDeDup (arXiv:2303.09540): k-means cells + greedy keep-first-
+        # by-id within each cell on the cosine>=0.35 graph. All-integer
+        # survivor output; cell training mirrors emb_ivf_topk's params so
+        # the oracle can reuse the refimpl cell-assignment aux parquet.
+        from logparse_rs_spark.operators.similarity import semdedup
+        return semdedup(_emb(spark, sf_dir), threshold=0.35, n_cells=8)
+
     def events_value_quantiles(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return (ev.groupBy("event_type")
@@ -918,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_total_and_errors": log_total_and_errors,
         "emb_ivf_topk": emb_ivf_topk,
         "emb_neardup_pairs": emb_neardup_pairs,
+        "emb_semdedup": emb_semdedup,
         "events_value_quantiles": events_value_quantiles,
         "tpch_q3ish": tpch_q3ish,
         "lineitem_rollup": lineitem_rollup,
@@ -1276,6 +1285,47 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+        """,
+        # SemDeDup greedy survivor set: the recursive CTE replays the
+        # keep-first-by-id rule one row at a time per cell — a row is kept
+        # iff none of its earlier >=threshold neighbors made the kept list
+        # (NOT merely "has an earlier neighbor": a~b~c chains keep a AND c).
+        # Cell assignments come from the refimpl aux parquet (same numpy
+        # kernels as the Spark UDFs); cosine is DuckDB's own.
+        "emb_semdedup": f"""
+            WITH RECURSIVE
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            cj AS (SELECT c.vec_id, c.ivf_cell, v.e,
+                          row_number() OVER (PARTITION BY c.ivf_cell
+                                             ORDER BY c.vec_id) AS rn
+                   FROM {EMB_CELLS} c JOIN v USING (vec_id)),
+            p AS (SELECT a.ivf_cell, a.vec_id AS id_lo, b.vec_id AS id_hi
+                  FROM cj a JOIN cj b
+                    ON a.ivf_cell = b.ivf_cell AND a.vec_id < b.vec_id
+                  WHERE list_cosine_similarity(a.e, b.e) >= 0.35),
+            nb AS (SELECT cj.ivf_cell, cj.rn, cj.vec_id,
+                          list(p.id_lo)
+                            FILTER (WHERE p.id_lo IS NOT NULL) AS nbrs
+                   FROM cj LEFT JOIN p
+                     ON p.ivf_cell = cj.ivf_cell AND p.id_hi = cj.vec_id
+                   GROUP BY cj.ivf_cell, cj.rn, cj.vec_id),
+            g AS (
+              SELECT ivf_cell, 0 AS rn, []::BIGINT[] AS kept
+              FROM cj GROUP BY ivf_cell
+              UNION ALL
+              SELECT g.ivf_cell, n.rn,
+                     CASE WHEN n.nbrs IS NULL
+                               OR len(list_intersect(n.nbrs, g.kept)) = 0
+                          THEN list_append(g.kept, n.vec_id)
+                          ELSE g.kept END
+              FROM g JOIN nb n
+                ON n.ivf_cell = g.ivf_cell AND n.rn = g.rn + 1),
+            fin AS (SELECT ivf_cell, kept,
+                           row_number() OVER (PARTITION BY ivf_cell
+                                              ORDER BY rn DESC) AS rr
+                    FROM g)
+            SELECT unnest(kept) AS vec_id, ivf_cell
+            FROM fin WHERE rr = 1
         """,
         "events_value_quantiles": """
             SELECT event_type,

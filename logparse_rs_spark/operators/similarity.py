@@ -295,6 +295,68 @@ def neardup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.35,
             .agg(F.round(F.min("cos_sim"), 6).alias("cos_sim")))
 
 
+def semdedup(vectors: DataFrame, threshold: float = 0.35, n_cells: int = 8,
+             iters: int = 5, seed: int = 17, sample_rows: int = 4096,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: "np.ndarray" = None,
+             max_cell: int = 200_000) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into k-means cells,
+    then WITHIN each cell greedily keep the first vector (by id) of every
+    cosine >= threshold neighborhood — a vector is dropped iff it is
+    >= threshold similar to an already-KEPT earlier id (so of a~b~c chains
+    with a!~c, b drops but a and c both survive; a plain
+    "drop-if-any-earlier-neighbor" rule would differ on exactly those
+    chains, and the tests pin the distinction). Returns the survivor set
+    as (id, ivf_cell) — all-integer output, no float surface.
+
+    Scale shape: the cross-cell all-pairs problem never materializes —
+    comparisons happen only inside a cell, one applyInPandas group per
+    cell, embarrassingly parallel across cells. Per-cell work is
+    O(cell_size * kept) vectorized dot products; cells are bounded by
+    construction (n_cells scales with the corpus: the SemDeDup paper runs
+    ~10^4-10^5 clusters at web scale so cells stay ~10^4 rows). `max_cell`
+    fails fast instead of silently thrashing when the clustering collapses
+    (mirrors dedup.max_bucket's contract); the fix at scale is more cells,
+    not a bigger cap. Centroid training collects a fixed-size id-ordered
+    sample (train_ivf_centroids) — O(sample) regardless of table size."""
+    if centroids is None:
+        centroids = train_ivf_centroids(vectors, n_cells, iters=iters,
+                                        seed=seed, vec_col=vec_col,
+                                        id_col=id_col,
+                                        sample_rows=sample_rows)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("ivf_cell", T.IntegerType()),
+    ])
+
+    def keep_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell:
+            raise ValueError(
+                f"semdedup cell {int(pdf['ivf_cell'].iloc[0])} has {n} "
+                f"rows > max_cell={max_cell}; raise n_cells so cells stay "
+                "bounded (the greedy scan is O(cell * kept))")
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        vm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vm, axis=1)
+        norms[norms == 0] = 1.0
+        vn = vm / norms[:, None]
+        kept: list[int] = []
+        for i in range(n):
+            if not kept or (vn[kept] @ vn[i] < threshold).all():
+                kept.append(i)
+        return pd.DataFrame({
+            id_col: pdf[id_col].to_numpy()[kept],
+            "ivf_cell": pdf["ivf_cell"].to_numpy()[kept],
+        })
+
+    return (assigned.select(id_col, vec_col, "ivf_cell")
+            .groupBy("ivf_cell").applyInPandas(keep_cell, schema=out_schema))
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              n_planes: int = 32, bands: int = 4, seed: int = 13,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -269,6 +269,60 @@ class TestIVF:
         assert a == b
 
 
+class TestSemDedup:
+    def _vec_df(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>")
+
+    def test_chain_keeps_endpoints(self, spark):
+        # a~b and b~c above threshold but a!~c: greedy-against-KEPT keeps
+        # a AND c (b is dropped, so c has no kept neighbor). A plain
+        # drop-if-any-earlier-neighbor rule would wrongly drop c too.
+        from logparse_rs_spark.operators.similarity import semdedup
+        import math
+        th = math.radians(40)          # cos(40deg)=0.766 > 0.7; cos(80)=0.17
+        vecs = [(1.0, 0.0),
+                (math.cos(th), math.sin(th)),
+                (math.cos(2 * th), math.sin(2 * th))]
+        df = self._vec_df(spark, vecs)
+        kept = sorted(r.vec_id for r in
+                      semdedup(df, threshold=0.7, n_cells=1).collect())
+        assert kept == [0, 2]
+
+    def test_matches_python_greedy(self, spark, emb):
+        from logparse_rs_spark.operators.similarity import (
+            assign_cells_np, kmeans_cells, semdedup)
+        got = sorted((r.vec_id, r.ivf_cell) for r in
+                     semdedup(emb, threshold=0.35, n_cells=8).collect())
+        rows = emb.select("vec_id", "embedding").collect()
+        ids = np.array(sorted(r["vec_id"] for r in rows))
+        by_id = {r["vec_id"]: r["embedding"] for r in rows}
+        vm = np.array([by_id[i] for i in ids], dtype=np.float64)
+        x = vm[:4096] / np.maximum(
+            np.linalg.norm(vm[:4096], axis=1, keepdims=True), 1e-12)
+        cents = kmeans_cells(x, 8, 5, 17)
+        cells = assign_cells_np(
+            vm, cents / np.linalg.norm(cents, axis=1, keepdims=True))
+        vn = vm / np.maximum(
+            np.linalg.norm(vm, axis=1, keepdims=True), 1e-12)
+        want = []
+        for c in np.unique(cells):
+            kept = []
+            for i in np.where(cells == c)[0]:
+                if not kept or (vn[kept] @ vn[i] < 0.35).all():
+                    kept.append(i)
+            want += [(int(ids[i]), int(c)) for i in kept]
+        assert got == sorted(want)
+        assert 0 < len(got) < len(ids)   # non-trivial on this fixture
+
+    def test_max_cell_guard(self, spark):
+        from logparse_rs_spark.operators.similarity import semdedup
+        df = self._vec_df(spark, [(1.0, float(i % 3)) for i in range(20)])
+        with pytest.raises(Exception, match="max_cell"):
+            semdedup(df, threshold=0.99, n_cells=1, max_cell=5).collect()
+
+
 class TestDuplicateHeavy:
     """VERDICT r1 #4: duplicate-heavy corpora must not blow up the band join."""
 
