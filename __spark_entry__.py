@@ -351,6 +351,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.35,
                              bands=16)
 
+    def events_attribution_join(spark, sf_dir):
+        # point-in-interval attribution: every purchase paired with every
+        # click by the same user in the preceding 12 h (half-open window).
+        # The operator runs the bucketed equi-join form — never the
+        # nested-loop range join Spark would plan for the raw predicate.
+        # Integer-only output surface (ids + delta micros).
+        from logparse_rs_spark.operators.asof import interval_join
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        clicks = (ev.filter("event_type = 'click'")
+                  .select(F.col("event_id").alias("click_id"), "user_id",
+                          F.col("ts").alias("c_start"),
+                          (F.col("ts") + F.expr("INTERVAL 12 HOURS"))
+                          .alias("c_end"),
+                          F.col("ts").alias("c_ts")))
+        purchases = (ev.filter("event_type = 'purchase'")
+                     .select("event_id", "user_id", "ts"))
+        j = interval_join(purchases, clicks, on="user_id", point_ts="ts",
+                          start_ts="c_start", end_ts="c_end",
+                          value_cols=["click_id", "c_ts"], bucket_s=43200)
+        return j.select(F.col("event_id").alias("purchase_id"),
+                        F.col("click_id_iv").alias("click_id"),
+                        "user_id",
+                        (F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                         - F.unix_micros(F.col("c_ts_iv")
+                                         .cast("timestamp_ltz")))
+                        .alias("delta_us"))
+
     def emb_semdedup(spark, sf_dir):
         # SemDeDup (arXiv:2303.09540): k-means cells + greedy keep-first-
         # by-id within each cell on the cosine>=0.35 graph. All-integer
@@ -927,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": emb_ivf_topk,
         "emb_neardup_pairs": emb_neardup_pairs,
         "emb_semdedup": emb_semdedup,
+        "events_attribution_join": events_attribution_join,
         "events_value_quantiles": events_value_quantiles,
         "tpch_q3ish": tpch_q3ish,
         "lineitem_rollup": lineitem_rollup,
@@ -1285,6 +1313,19 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+        """,
+        # attribution interval join: DuckDB gets the raw range predicate
+        # (its optimizer handles it at oracle scale); Spark runs the
+        # bucketed form — identical pair sets is exactly the claim under test
+        "events_attribution_join": """
+            WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+                       FROM events WHERE event_type = 'click'),
+            p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+                  FROM events WHERE event_type = 'purchase')
+            SELECT p.purchase_id, c.click_id, p.user_id,
+                   epoch_us(p.pts) - epoch_us(c.cts) AS delta_us
+            FROM p JOIN c ON p.user_id = c.user_id
+             AND c.cts <= p.pts AND p.pts < c.cts + INTERVAL 12 HOUR
         """,
         # SemDeDup greedy survivor set: the recursive CTE replays the
         # keep-first-by-id rule one row at a time per cell — a row is kept

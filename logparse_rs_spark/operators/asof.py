@@ -1,5 +1,5 @@
-"""As-of (point-in-time) join — the classic custom operator Spark's
-DataFrame API lacks as a primitive.
+"""As-of (point-in-time) and point-in-interval joins — the classic custom
+temporal operators Spark's DataFrame API lacks as primitives.
 
 For every left row, attach the value columns of the single right row with
 the greatest right timestamp <= the left timestamp ("backward", the
@@ -105,3 +105,55 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     for c in carried:
         out = out.withColumn(c, F.col(row)[c])
     return out.drop(tag, ts, row)
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, on: str,
+                  point_ts: str = "ts", start_ts: str = "start_ts",
+                  end_ts: str = "end_ts",
+                  value_cols: Optional[Sequence[str]] = None,
+                  bucket_s: int = 3600,
+                  suffix: str = "_iv") -> DataFrame:
+    """Point-in-interval (range) join: one output row per (point, interval)
+    pair with the same key where ``start_ts <= point_ts < end_ts``
+    (half-open, the standard attribution-window convention — an instant on
+    the boundary belongs to exactly one adjacent window).
+
+    Spark-first physical form: Spark plans a naive
+    ``p.ts >= i.start AND p.ts < i.end`` theta join as a broadcast
+    nested loop (or an SMJ on the key alone that replays every interval of
+    a hot key against every point) — the classic range-join scale killer.
+    Instead both sides are mapped onto fixed time buckets of ``bucket_s``
+    seconds: an interval is exploded over every bucket it overlaps
+    (``sequence(floor(start), floor(end - 1us))`` — ceil(len/bucket)+1
+    rows), a point lands in exactly ONE bucket, and the join becomes a
+    plain hash equi-join on (key, bucket) + an exact residual predicate.
+    Each qualifying pair meets in exactly one bucket (the point's), so no
+    dedup pass is needed. Cost is tunable: pick bucket_s near the typical
+    interval length so intervals explode ~2x while each point probes one
+    bucket. Skewed keys shard across buckets by construction (the join key
+    is (key, bucket), not key alone).
+    """
+    if value_cols is None:
+        value_cols = [c for c in intervals.columns
+                      if c not in (on, start_ts, end_ts)]
+    width = int(bucket_s) * 1_000_000
+
+    s_us = F.unix_micros(F.col(start_ts).cast("timestamp_ltz"))
+    e_us = F.unix_micros(F.col(end_ts).cast("timestamp_ltz"))
+    rhs = (intervals.select(
+        F.col(on),
+        s_us.alias("_iv_s"), e_us.alias("_iv_e"),
+        *[F.col(v).alias(f"{v}{suffix}") for v in value_cols])
+        .filter(F.col("_iv_e") > F.col("_iv_s"))     # empty intervals: no bucket
+        .withColumn("_iv_bucket", F.explode(F.sequence(
+            F.floor(F.col("_iv_s") / width),
+            F.floor((F.col("_iv_e") - 1) / width)))))
+
+    p_us = F.unix_micros(F.col(point_ts).cast("timestamp_ltz"))
+    lhs = (points.withColumn("_iv_t", p_us)
+           .withColumn("_iv_bucket", F.floor(F.col("_iv_t") / width)))
+
+    out = (lhs.join(rhs, [on, "_iv_bucket"])
+           .filter((F.col("_iv_t") >= F.col("_iv_s"))
+                   & (F.col("_iv_t") < F.col("_iv_e"))))
+    return out.drop("_iv_bucket", "_iv_t", "_iv_s", "_iv_e")

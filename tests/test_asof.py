@@ -154,3 +154,87 @@ class TestAsofVariants:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestIntervalJoin:
+    def _mk(self, spark, points, intervals):
+        p = spark.createDataFrame(
+            [(i, k, _ts(t)) for i, (k, t) in enumerate(points)],
+            "pid long, k long, ts timestamp")
+        iv = spark.createDataFrame(
+            [(100 + i, k, _ts(s), _ts(e))
+             for i, (k, s, e) in enumerate(intervals)],
+            "iid long, k long, s timestamp, e timestamp")
+        return p, iv
+
+    def test_half_open_boundaries(self, spark):
+        from logparse_rs_spark.operators.asof import interval_join
+        p, iv = self._mk(
+            spark,
+            points=[(1, "2021-01-01T00:10:00"),   # == start: IN
+                    (1, "2021-01-01T00:20:00"),   # == end: OUT
+                    (1, "2021-01-01T00:15:00"),   # inside: IN
+                    (2, "2021-01-01T00:15:00")],  # wrong key: OUT
+            intervals=[(1, "2021-01-01T00:10:00", "2021-01-01T00:20:00")])
+        got = sorted(r.pid for r in interval_join(
+            p, iv, on="k", start_ts="s", end_ts="e", bucket_s=60).collect())
+        assert got == [0, 2]
+
+    def test_interval_spanning_many_buckets(self, spark):
+        from logparse_rs_spark.operators.asof import interval_join
+        # 1-hour interval, 60 s buckets: explodes over 60 buckets, every
+        # contained point pairs exactly once (no dup from multi-bucket)
+        p, iv = self._mk(
+            spark,
+            points=[(1, f"2021-01-01T00:{m:02d}:30") for m in range(60)],
+            intervals=[(1, "2021-01-01T00:00:00", "2021-01-01T01:00:00")])
+        rows = interval_join(p, iv, on="k", start_ts="s", end_ts="e",
+                             bucket_s=60).collect()
+        assert len(rows) == 60
+        assert len({r.pid for r in rows}) == 60
+
+    def test_matches_naive_range_join(self, spark):
+        from logparse_rs_spark.operators.asof import interval_join
+        import random
+        rng = random.Random(7)
+        base = dt.datetime(2021, 1, 1)
+        points = [(rng.randrange(4),
+                   (base + dt.timedelta(seconds=rng.randrange(7200)))
+                   .isoformat()) for _ in range(200)]
+        intervals = []
+        for _ in range(60):
+            s = rng.randrange(7200)
+            intervals.append((rng.randrange(4),
+                              (base + dt.timedelta(seconds=s)).isoformat(),
+                              (base + dt.timedelta(
+                                  seconds=s + rng.randrange(1, 900)))
+                              .isoformat()))
+        p, iv = self._mk(spark, points, intervals)
+        got = sorted((r.pid, r.iid_iv) for r in interval_join(
+            p, iv, on="k", start_ts="s", end_ts="e",
+            value_cols=["iid"], bucket_s=120).collect())
+        want = sorted((r.pid, r.iid) for r in p.alias("p").join(
+            iv.alias("i"),
+            (F.col("p.k") == F.col("i.k"))
+            & (F.col("p.ts") >= F.col("i.s"))
+            & (F.col("p.ts") < F.col("i.e"))).collect())
+        assert got == want and len(want) > 0
+
+    def test_plan_is_equi_join(self, spark):
+        from logparse_rs_spark.operators.asof import interval_join
+        p, iv = self._mk(
+            spark, points=[(1, "2021-01-01T00:10:00")],
+            intervals=[(1, "2021-01-01T00:00:00", "2021-01-01T01:00:00")])
+        plan = interval_join(p, iv, on="k", start_ts="s", end_ts="e",
+                             bucket_s=60)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_empty_interval_matches_nothing(self, spark):
+        from logparse_rs_spark.operators.asof import interval_join
+        p, iv = self._mk(
+            spark, points=[(1, "2021-01-01T00:10:00")],
+            intervals=[(1, "2021-01-01T00:10:00", "2021-01-01T00:10:00")])
+        assert interval_join(p, iv, on="k", start_ts="s", end_ts="e",
+                             bucket_s=60).count() == 0
