@@ -351,6 +351,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.35,
                              bands=16)
 
+    def doc_dsir_weights(spark, sf_dir):
+        # DSIR importance weights: per-doc mean log-likelihood ratio of
+        # hashed-unigram models, target = English slice vs whole corpus
+        from logparse_rs_spark.dataops_fixtures import DSIR_N_BUCKETS
+        from logparse_rs_spark.operators.curate import dsir_weights
+        return dsir_weights(_docs(spark, sf_dir), target="lang = 'en'",
+                            n_buckets=DSIR_N_BUCKETS)
+
     def events_attribution_join(spark, sf_dir):
         # point-in-interval attribution: every purchase paired with every
         # click by the same user in the preceding 12 h (half-open window).
@@ -955,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": emb_neardup_pairs,
         "emb_semdedup": emb_semdedup,
         "events_attribution_join": events_attribution_join,
+        "doc_dsir_weights": doc_dsir_weights,
         "events_value_quantiles": events_value_quantiles,
         "tpch_q3ish": tpch_q3ish,
         "lineitem_rollup": lineitem_rollup,
@@ -1005,6 +1014,8 @@ def oracle_sql() -> dict[str, str]:
     EMB_BANDS = f"read_parquet('{aux['emb_bands']}')"
     EMB_CELLS = f"read_parquet('{aux['emb_cells']}')"
     EMB_PROBES = f"read_parquet('{aux['emb_probes']}')"
+    TOK_BUCKETS = f"read_parquet('{aux['tok_buckets']}')"
+    from logparse_rs_spark.dataops_fixtures import DSIR_N_BUCKETS
     # only the fields the sample anonymizer config actively transforms appear
     # in the integrity table (rule_name/source_user are NOT matched by the
     # config's 'rule'/'user' keys -> passthrough, never recorded)
@@ -1313,6 +1324,32 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+        """,
+        # DSIR weights: tokens bucketed via the refimpl FNV vocab map
+        # (tok_buckets aux — SQL cannot compute FNV); add-one smoothed
+        # bucket models, per-doc mean log ratio. n_buckets literal must
+        # match DSIR_N_BUCKETS.
+        "doc_dsir_weights": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '{WSP}'),
+                       x -> x <> '')) AS token
+              FROM documents),
+            tb AS (SELECT t.doc_id, t.lang, a.bucket
+                   FROM tok t JOIN {TOK_BUCKETS} a USING (token)),
+            bw AS (SELECT bucket, COUNT(*) AS q_n,
+                          COUNT(*) FILTER (WHERE lang = 'en') AS p_n
+                   FROM tb GROUP BY bucket),
+            tot AS (SELECT SUM(q_n) AS q_tot, SUM(p_n) AS p_tot FROM bw),
+            w AS (SELECT bucket,
+                         ln((p_n + 1.0) / (p_tot + {DSIR_N_BUCKETS}))
+                         - ln((q_n + 1.0) / (q_tot + {DSIR_N_BUCKETS}))
+                           AS lw
+                  FROM bw, tot)
+            SELECT tb.doc_id, COUNT(*) AS n_tokens,
+                   round(avg(w.lw), 6) AS dsir_weight
+            FROM tb JOIN w USING (bucket) GROUP BY tb.doc_id
         """,
         # attribution interval join: DuckDB gets the raw range predicate
         # (its optimizer handles it at oracle scale); Spark runs the

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any refimpl kernel or parameter below changes semantics
-_AUX_VERSION = 1
+_AUX_VERSION = 2
 
 # parameters pinned to the __spark_entry__ query definitions
 MINHASH_NUM_PERM = 64
@@ -43,6 +43,7 @@ IVF_SEED = 17
 IVF_ITERS = 5
 IVF_SAMPLE_ROWS = 4096
 N_QUERIES = 3   # queries are vec_id < 3
+DSIR_N_BUCKETS = 256
 
 # Java \s (ASCII-only), matching Spark's regexp_replace(col, r"\s+", " ")
 _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
@@ -58,7 +59,8 @@ def normalized_text_py(t: str) -> str:
 
 def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
     """Materialize (idempotently) the aux parquet files for `sf_dir` and
-    return {name: path}. Names: doc_aux, emb_bands, emb_cells, emb_probes."""
+    return {name: path}. Names: doc_aux, emb_bands, emb_cells, emb_probes,
+    tok_buckets."""
     tag = os.path.basename(sf_dir.rstrip("/"))
     out_dir = os.path.join(fixture_root,
                            f"dataaux_{tag}_v{_AUX_VERSION}")
@@ -67,6 +69,7 @@ def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
         "emb_bands": os.path.join(out_dir, "emb_bands.parquet"),
         "emb_cells": os.path.join(out_dir, "emb_cells.parquet"),
         "emb_probes": os.path.join(out_dir, "emb_probes.parquet"),
+        "tok_buckets": os.path.join(out_dir, "tok_buckets.parquet"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -98,6 +101,22 @@ def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
         "fingerprint": pa.array(fnv.tolist(), pa.int64()),
     })
     _atomic_write(doc_tbl, paths["doc_aux"])
+
+    # ---- corpus vocabulary -> DSIR hash buckets ---------------------------
+    # the Spark operator buckets tokens with fnv1a_col(token) % B on the
+    # fly; the oracle cannot compute FNV in SQL, so the vocabulary (small
+    # by construction — distinct whitespace tokens) is bucketed here with
+    # the same kernel and joined in the oracle
+    from .operators.dedup import WORD_SPLIT_CLASS
+    _split = re.compile(WORD_SPLIT_CLASS)
+    vocab = sorted({t for txt in texts if txt
+                    for t in _split.split(txt.lower()) if t})
+    tok_fnv = fnv1a_series(pd.Series(vocab)).view("int64")
+    _atomic_write(pa.table({
+        "token": pa.array(vocab, pa.string()),
+        "bucket": pa.array((tok_fnv % DSIR_N_BUCKETS).astype("int32"),
+                           pa.int32()),
+    }), paths["tok_buckets"])
 
     # ---- embeddings: LSH bands + IVF cells/probes --------------------------
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),

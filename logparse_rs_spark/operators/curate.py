@@ -333,3 +333,50 @@ def filter_blocked_hosts(pages: DataFrame, blocked_hosts: Iterable[str],
     host = F.regexp_extract(F.col(url_col), "^[a-z]+://([^/]+)", 1)
     return (pages.withColumn("host", host)
             .join(F.broadcast(bl), "host", "left_anti"))
+
+
+def dsir_weights(docs: DataFrame, target="lang = 'en'",
+                 n_buckets: int = 256, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): score every document
+    by how much more likely its tokens are under the TARGET distribution
+    (rows where `target` holds — the high-quality / in-domain slice) than
+    under the raw corpus distribution. Features are hashed unigram buckets
+    (fnv1a(token) % n_buckets — the paper's hashed n-gram model);
+    bucket unigram models are add-one smoothed; the weight is the per-token
+    mean log-likelihood ratio. Downstream selection = sample/top-k by
+    weight (rebalance/mixture operators compose).
+
+    Scale shape: two passes over the exploded tokens. Pass 1 reduces to
+    n_buckets rows (map-side partial agg; the global totals are a window
+    over those few rows, never over data). Pass 2 joins the BROADCAST
+    per-bucket log-ratio table back and folds per doc — the corpus is
+    never shuffled by anything wider than (doc_id). Token hashing is an
+    Arrow-batched pandas UDF (FNV parity with the refimpl oracle); swap in
+    xxhash64 for a pure-JVM pipeline when cross-engine parity is not
+    required."""
+    from ..functions import fnv1a_col
+
+    is_t = F.expr(target) if isinstance(target, str) else target
+    tok = (docs.select(F.col(id_col), is_t.alias("_is_target"),
+                       F.explode(_words(F.col(text_col))).alias("token"))
+           .withColumn("bucket",
+                       F.pmod(fnv1a_col(F.col("token")),
+                              F.lit(n_buckets)).cast("int")))
+    bw = tok.groupBy("bucket").agg(
+        F.count("*").alias("q_n"),
+        F.sum(F.col("_is_target").cast("long")).alias("p_n"))
+    tot = bw.agg(F.sum("q_n").alias("q_tot"), F.sum("p_n").alias("p_tot"))
+    lw = (bw.crossJoin(F.broadcast(tot))
+          .withColumn(
+              "lw",
+              F.log((F.col("p_n") + 1.0)
+                    / (F.col("p_tot") + F.lit(float(n_buckets))))
+              - F.log((F.col("q_n") + 1.0)
+                      / (F.col("q_tot") + F.lit(float(n_buckets)))))
+          .select("bucket", "lw"))
+    return (tok.join(F.broadcast(lw), "bucket")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg("lw"), 6).alias("dsir_weight")))

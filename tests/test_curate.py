@@ -215,3 +215,73 @@ class TestFilterBlockedHosts:
         assert [r.url for r in out.collect()] == ["https://ok.example.com/p2"]
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+class TestDsirWeights:
+    def test_matches_python_replica(self, spark):
+        import math
+        import re
+
+        import pandas as pd
+
+        from logparse_rs_spark.kernels import fnv1a_series
+        from logparse_rs_spark.operators.curate import dsir_weights
+        from logparse_rs_spark.operators.dedup import WORD_SPLIT_CLASS
+
+        rows = [
+            (0, "alpha beta alpha gamma", "en"),
+            (1, "beta beta delta", "de"),
+            (2, "alpha alpha alpha", "en"),
+            (3, "delta gamma delta epsilon", "de"),
+            (4, "Alpha  beta\tgamma", "en"),
+            (5, "", "de"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        B = 16
+        got = {r.doc_id: (r.n_tokens, r.dsir_weight) for r in
+               dsir_weights(df, target="lang = 'en'", n_buckets=B).collect()}
+
+        split = re.compile(WORD_SPLIT_CLASS)
+        toks = {i: [t for t in split.split(tx.lower()) if t]
+                for i, tx, _ in rows}
+        buckets = {}
+        for ts in toks.values():
+            for t in ts:
+                if t not in buckets:
+                    buckets[t] = int(
+                        fnv1a_series(pd.Series([t])).view("int64")[0] % B)
+        q, p = {}, {}
+        for i, tx, lang in rows:
+            for t in toks[i]:
+                b = buckets[t]
+                q[b] = q.get(b, 0) + 1
+                if lang == "en":
+                    p[b] = p.get(b, 0) + 1
+        q_tot, p_tot = sum(q.values()), sum(p.values())
+        want = {}
+        for i, tx, lang in rows:
+            if not toks[i]:
+                continue               # empty docs emit no rows
+            lws = [math.log((p.get(buckets[t], 0) + 1) / (p_tot + B))
+                   - math.log((q[buckets[t]] + 1) / (q_tot + B))
+                   for t in toks[i]]
+            want[i] = (len(toks[i]), round(sum(lws) / len(lws), 6))
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0]
+            assert got[i][1] == pytest.approx(want[i][1], abs=2e-6)
+
+    def test_target_heavy_doc_scores_higher(self, spark):
+        from logparse_rs_spark.operators.curate import dsir_weights
+        rows = ([(i, "target words only here", "en") for i in range(20)]
+                + [(100 + i, "offdomain noise tokens junk", "xx")
+                   for i in range(20)]
+                + [(200, "target words only here", "xx"),
+                   (201, "offdomain noise tokens junk", "en")])
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        w = {r.doc_id: r.dsir_weight for r in
+             dsir_weights(df, target="lang = 'en'", n_buckets=64).collect()}
+        # a doc made of target-slice tokens outweighs one made of
+        # off-target tokens, regardless of its own label
+        assert w[200] > w[201]
+        assert w[0] > w[100]
