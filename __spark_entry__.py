@@ -351,6 +351,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.35,
                              bands=16)
 
+    def events_spike_windows(spark, sf_dir):
+        # integer-exact spike detection: hourly windows whose count beats
+        # 2x the type's mean active-window rate (cross-multiplied — no
+        # float baseline, no timestamp output surface)
+        from logparse_rs_spark.operators.aggregates import spike_windows
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return spike_windows(ev, window_s=3600, factor_num=2, factor_den=1)
+
     def doc_dsir_weights(spark, sf_dir):
         # DSIR importance weights: per-doc mean log-likelihood ratio of
         # hashed-unigram models, target = English slice vs whole corpus
@@ -964,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": emb_semdedup,
         "events_attribution_join": events_attribution_join,
         "doc_dsir_weights": doc_dsir_weights,
+        "events_spike_windows": events_spike_windows,
         "events_value_quantiles": events_value_quantiles,
         "tpch_q3ish": tpch_q3ish,
         "lineitem_rollup": lineitem_rollup,
@@ -1324,6 +1333,20 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+        """,
+        # spike windows: integer cross-multiplied threshold, no float mean
+        "events_spike_windows": """
+            WITH w AS (SELECT event_type,
+                              epoch_us(ts) // (3600::BIGINT * 1000000) AS wb,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT event_type, COUNT(*) AS n_windows,
+                         SUM(n)::BIGINT AS total_n
+                  FROM w GROUP BY 1)
+            SELECT event_type, wb * 3600000000 AS window_start_us,
+                   n, n_windows, total_n
+            FROM w JOIN t USING (event_type)
+            WHERE n * n_windows * 1 > 2 * total_n
         """,
         # DSIR weights: tokens bucketed via the refimpl FNV vocab map
         # (tok_buckets aux — SQL cannot compute FNV); add-one smoothed

@@ -102,3 +102,35 @@ def report(parsed: DataFrame, traffic_projected: DataFrame, k: int = 10) -> dict
         "top_destinations": tops["destination_address"],
         "top_applications": tops["application"],
     }
+
+
+def spike_windows(df: DataFrame, ts_col: str = "ts",
+                  key_col: str = "event_type", window_s: int = 3600,
+                  factor_num: int = 2, factor_den: int = 1) -> DataFrame:
+    """Volume-spike detection over fixed time windows, integer-exact: flag
+    every (key, window) whose event count exceeds factor (= factor_num /
+    factor_den) times the key's mean count per ACTIVE window. The
+    comparison is cross-multiplied (n * n_windows * den > num * total), so
+    no float mean ever exists and the answer is engine-exact — the mean
+    baseline is over windows that contain at least one event (empty
+    windows are never materialized; a sparse stream's baseline is its
+    active-window rate by design).
+
+    Scale shape: one hash agg to (key, window) — map-side partial, output
+    already tiny relative to events — then a per-key rollup of THAT (rows
+    = active windows, not events) broadcast back. The events table is
+    touched once and shuffled only by the (key, window) agg key, which is
+    spike-proof: a hot window still folds map-side before the exchange.
+    Output is all-integer (window starts as epoch micros)."""
+    width = int(window_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    w = (df.withColumn("_wb", F.floor(us / F.lit(width)))
+         .groupBy(key_col, "_wb").agg(F.count("*").alias("n")))
+    t = w.groupBy(key_col).agg(F.count("*").alias("n_windows"),
+                               F.sum("n").alias("total_n"))
+    return (w.join(F.broadcast(t), key_col)
+            .filter(F.col("n") * F.col("n_windows") * F.lit(int(factor_den))
+                    > F.lit(int(factor_num)) * F.col("total_n"))
+            .select(key_col,
+                    (F.col("_wb") * width).alias("window_start_us"),
+                    "n", "n_windows", "total_n"))
