@@ -352,12 +352,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              bands=16)
 
     def events_spike_windows(spark, sf_dir):
-        # integer-exact spike detection: hourly windows whose count beats
+        # integer-exact spike detection: 15-min windows whose count beats
         # 2x the type's mean active-window rate (cross-multiplied — no
-        # float baseline, no timestamp output surface)
+        # float baseline, no timestamp output surface). 900 s keeps the
+        # flag set non-trivial at BOTH gate SFs (472 @ sf0.01, 151 @ sf0.1)
         from logparse_rs_spark.operators.aggregates import spike_windows
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return spike_windows(ev, window_s=3600, factor_num=2, factor_den=1)
+        return spike_windows(ev, window_s=900, factor_num=2, factor_den=1)
 
     def doc_dsir_weights(spark, sf_dir):
         # DSIR importance weights: per-doc mean log-likelihood ratio of
@@ -1337,13 +1338,13 @@ def oracle_sql() -> dict[str, str]:
         # spike windows: integer cross-multiplied threshold, no float mean
         "events_spike_windows": """
             WITH w AS (SELECT event_type,
-                              epoch_us(ts) // (3600::BIGINT * 1000000) AS wb,
+                              epoch_us(ts) // (900::BIGINT * 1000000) AS wb,
                               COUNT(*) AS n
                        FROM events GROUP BY 1, 2),
             t AS (SELECT event_type, COUNT(*) AS n_windows,
                          SUM(n)::BIGINT AS total_n
                   FROM w GROUP BY 1)
-            SELECT event_type, wb * 3600000000 AS window_start_us,
+            SELECT event_type, wb * 900000000 AS window_start_us,
                    n, n_windows, total_n
             FROM w JOIN t USING (event_type)
             WHERE n * n_windows * 1 > 2 * total_n
