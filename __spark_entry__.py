@@ -351,6 +351,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return neardup_pairs(emb, dim=_emb_dim(sf_dir), threshold=0.35,
                              bands=16)
 
+    def doc_incremental_dedup(spark, sf_dir):
+        # incremental crawl dedup: a deterministic "new batch" derived from
+        # the corpus — 20% recrawled copies (new ids, same text -> dropped
+        # against the corpus), 20% genuinely-new texts (kept), plus a
+        # second copy of half the new texts (within-batch dup -> keep-first)
+        from logparse_rs_spark.operators.dedup import incremental_dedup
+        d = _docs(spark, sf_dir)
+        mod = F.pmod(F.col("doc_id"), F.lit(10))
+        fresh = F.concat(F.col("text"), F.lit(" fresh "),
+                         F.col("doc_id").cast("string"))
+        a = (d.filter(mod.isin(0, 1))
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     "text", "lang", "source"))
+        b = (d.filter(mod.isin(2, 3))
+             .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                     fresh.alias("text"), "lang", "source"))
+        c = (d.filter(mod == 2)
+             .select((F.col("doc_id") + 3_000_000).alias("doc_id"),
+                     fresh.alias("text"), "lang", "source"))
+        batch = a.unionByName(b).unionByName(c)
+        return (incremental_dedup(batch, d)
+                .select("doc_id", "lang", "source"))
+
+    def doc_curation_funnel(spark, sf_dir):
+        # the attrition report of a full curation run: raw -> token band
+        # -> Gopher rules -> exact-dedup canonical -> deterministic 25%
+        # content sample, one integer row per stage
+        from logparse_rs_spark.operators.curate import (attrition_funnel,
+                                                        gopher_quality)
+        from logparse_rs_spark.operators.dedup import exact_dedup
+        from logparse_rs_spark.operators.text import (_words,
+                                                      fingerprint_sample)
+        d = _docs(spark, sf_dir)
+        s1 = d.filter(F.size(_words(F.col("text"))).between(20, 200))
+        gk = gopher_quality(s1).filter(F.col("keep") == 1).select("doc_id")
+        s2 = s1.join(gk, "doc_id", "left_semi")
+        dk = exact_dedup(s2).select("doc_id")
+        s3 = s2.join(dk, "doc_id", "left_semi")
+        s4 = fingerprint_sample(s3, modulus=4, keep=0, exact_fnv=True)
+        return attrition_funnel([
+            ("raw", d), ("token_band", s1), ("gopher", s2),
+            ("exact_dedup", s3), ("fp_sample", s4)])
+
     def events_spike_windows(spark, sf_dir):
         # integer-exact spike detection: 15-min windows whose count beats
         # 2x the type's mean active-window rate (cross-multiplied — no
@@ -974,6 +1017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution_join": events_attribution_join,
         "doc_dsir_weights": doc_dsir_weights,
         "events_spike_windows": events_spike_windows,
+        "doc_incremental_dedup": doc_incremental_dedup,
+        "doc_curation_funnel": doc_curation_funnel,
         "events_value_quantiles": events_value_quantiles,
         "tpch_q3ish": tpch_q3ish,
         "lineitem_rollup": lineitem_rollup,
@@ -1334,6 +1379,34 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
             FROM v a JOIN v b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.e, b.e) >= 0.35
+        """,
+        # incremental dedup: the derived new batch (recrawls + fresh texts
+        # + a within-batch double) replayed in SQL; survivors = fresh
+        # texts' min-id holders
+        "doc_incremental_dedup": f"""
+            WITH nb AS (
+              SELECT doc_id + 1000000 AS doc_id, text, lang, source
+              FROM documents WHERE doc_id % 10 IN (0, 1)
+              UNION ALL
+              SELECT doc_id + 2000000, text || ' fresh ' || doc_id,
+                     lang, source
+              FROM documents WHERE doc_id % 10 IN (2, 3)
+              UNION ALL
+              SELECT doc_id + 3000000, text || ' fresh ' || doc_id,
+                     lang, source
+              FROM documents WHERE doc_id % 10 = 2),
+            norm AS (SELECT doc_id, lang, source,
+                            trim(regexp_replace(lower(text), '{WSP}',
+                                                ' ', 'g')) AS nt
+                     FROM nb),
+            corp AS (SELECT DISTINCT trim(regexp_replace(lower(text),
+                                          '{WSP}', ' ', 'g')) AS nt
+                     FROM documents),
+            surv AS (SELECT MIN(doc_id) AS doc_id FROM norm
+                     WHERE nt NOT IN (SELECT nt FROM corp)
+                     GROUP BY nt)
+            SELECT n.doc_id, n.lang, n.source
+            FROM norm n JOIN surv USING (doc_id)
         """,
         # spike windows: integer cross-multiplied threshold, no float mean
         "events_spike_windows": """
@@ -1987,6 +2060,36 @@ def oracle_sql() -> dict[str, str]:
                 AND n_ellipsis * 10 <= n_words
                 AND n_stopwords >= 2)::INT AS keep
         FROM m
+    """
+    # curation attrition funnel: the gopher CTE is the doc_gopher_quality
+    # oracle verbatim (per-doc rules are stage-order independent, so
+    # filtering its keep flag after the token band is exact composition)
+    d["doc_curation_funnel"] = f"""
+        WITH g AS ({d["doc_gopher_quality"]}),
+        tb AS (SELECT doc_id, text FROM documents
+               WHERE len(list_filter(string_split_regex(lower(text),
+                                                        '{WSP}'),
+                                     x -> x <> '')) BETWEEN 20 AND 200),
+        s2 AS (SELECT tb.doc_id, tb.text FROM tb
+               JOIN g USING (doc_id) WHERE g.keep = 1),
+        ded AS (SELECT MIN(doc_id) AS doc_id FROM s2
+                GROUP BY trim(regexp_replace(lower(text), '{WSP}',
+                                             ' ', 'g'))),
+        s3 AS (SELECT s2.* FROM s2 JOIN ded USING (doc_id)),
+        s4 AS (SELECT s3.* FROM s3 JOIN {DOC_AUX} a USING (doc_id)
+               WHERE ((a.fingerprint % 4) + 4) % 4 = 0)
+        SELECT 0::BIGINT AS stage, 'raw' AS stage_name,
+               COUNT(*) AS n_docs,
+               coalesce(sum(length(text)), 0)::BIGINT AS total_chars
+        FROM documents
+        UNION ALL SELECT 1, 'token_band', COUNT(*),
+               coalesce(sum(length(text)), 0)::BIGINT FROM tb
+        UNION ALL SELECT 2, 'gopher', COUNT(*),
+               coalesce(sum(length(text)), 0)::BIGINT FROM s2
+        UNION ALL SELECT 3, 'exact_dedup', COUNT(*),
+               coalesce(sum(length(text)), 0)::BIGINT FROM s3
+        UNION ALL SELECT 4, 'fp_sample', COUNT(*),
+               coalesce(sum(length(text)), 0)::BIGINT FROM s4
     """
     # lined construction mirroring _lined_docs: 8-word lines, first line
     # repeated at the end for doc_id % 4 == 0

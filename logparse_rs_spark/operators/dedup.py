@@ -453,3 +453,30 @@ def _ngram_array(col, n: int) -> F.Column:
             lambda i: F.substring(norm, 1, 0x7FFFFFFF).substr(i, F.lit(n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Dedup a NEW batch against an existing corpus plus itself — the
+    recurring production shape (each crawl/snapshot dedupes against every
+    earlier one; re-deduping the whole union from scratch would reread
+    10^12 processed rows per increment). A new row survives iff its
+    normalized text appears nowhere in the corpus AND it is the min-id
+    holder of its text within the batch (keep-first, matching
+    exact_dedup's canonical rule). Returns the surviving new rows intact.
+
+    Scale shape: both sides reduce to 8-byte xxhash64 keys before any
+    shuffle — corpus text is never read past the hash projection, and the
+    anti join + per-key min fold shuffle keys only; survivors come back as
+    a semi join on the id. At 10^12 corpus rows the corpus side is a
+    distinct key set (the information-theoretic minimum for exact dedup);
+    in practice you persist that key table once and reuse it every
+    increment instead of rescanning the corpus."""
+    key = F.xxhash64(normalized_text(F.col(text_col))).alias("_k")
+    nk = new_docs.select(F.col(id_col), key)
+    ck = corpus.select(key).distinct()
+    surv = (nk.join(ck, "_k", "left_anti")
+            .groupBy("_k").agg(F.min(id_col).alias(id_col))
+            .select(id_col))
+    return new_docs.join(surv, id_col, "left_semi")

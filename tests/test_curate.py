@@ -285,3 +285,25 @@ class TestDsirWeights:
         # off-target tokens, regardless of its own label
         assert w[200] > w[201]
         assert w[0] > w[100]
+
+
+class TestAttritionFunnel:
+    def test_stage_rows_and_order(self, spark):
+        from logparse_rs_spark.operators.curate import attrition_funnel
+        d = spark.createDataFrame(
+            [(i, "x" * (i + 1)) for i in range(6)],
+            "doc_id long, text string")
+        s1 = d.filter("doc_id >= 2")
+        s2 = s1.filter("doc_id >= 5")
+        out = attrition_funnel([("raw", d), ("a", s1), ("b", s2)]) \
+            .orderBy("stage").collect()
+        assert [(r.stage, r.stage_name, r.n_docs, r.total_chars)
+                for r in out] == [
+            (0, "raw", 6, 21), (1, "a", 4, 18), (2, "b", 1, 6)]
+
+    def test_empty_stage_is_zero_row(self, spark):
+        from logparse_rs_spark.operators.curate import attrition_funnel
+        d = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        out = attrition_funnel([("raw", d), ("none", d.filter("doc_id < 0"))]) \
+            .orderBy("stage").collect()
+        assert (out[1].n_docs, out[1].total_chars) == (0, 0)

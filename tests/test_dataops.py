@@ -1044,3 +1044,37 @@ class TestRebalance:
                rebalance_by_group(df, "lang", quota=quota)
                .groupBy("lang").agg(F.count("*").alias("n")).collect()}
         assert per == {"xx": quota, "yy": 3}
+
+
+class TestIncrementalDedup:
+    def test_batch_vs_corpus_and_within_batch(self, spark):
+        from logparse_rs_spark.operators.dedup import incremental_dedup
+        corpus = spark.createDataFrame(
+            [(0, "old news here"), (1, "other old text")],
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(10, "OLD   news here"),     # corpus dup modulo normalization
+             (11, "brand new text"),      # genuinely new -> kept
+             (12, "brand  NEW text"),     # within-batch dup of 11 -> dropped
+             (13, "another new one")],    # kept
+            "doc_id long, text string")
+        got = sorted(r.doc_id for r in
+                     incremental_dedup(batch, corpus).collect())
+        assert got == [11, 13]
+
+    def test_survivors_keep_full_rows(self, spark):
+        from logparse_rs_spark.operators.dedup import incremental_dedup
+        corpus = spark.createDataFrame([(0, "seen")],
+                                       "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(5, "fresh", "en", 42)],
+            "doc_id long, text string, lang string, extra long")
+        rows = incremental_dedup(batch, corpus).collect()
+        assert [(r.doc_id, r.lang, r.extra) for r in rows] == [(5, "en", 42)]
+
+    def test_empty_batch(self, spark):
+        from logparse_rs_spark.operators.dedup import incremental_dedup
+        corpus = spark.createDataFrame([(0, "seen")],
+                                       "doc_id long, text string")
+        batch = corpus.filter("doc_id < 0")
+        assert incremental_dedup(batch, corpus).count() == 0
