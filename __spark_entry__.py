@@ -982,6 +982,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").alias("n_pages"),
             F.count_distinct("host").alias("n_hosts"))
 
+    # ---- behavior analytics (operators/behavior.py) -----------------------
+
+    def events_funnel(spark, sf_dir):
+        # ordered conversion funnel signup -> click -> purchase: one
+        # user-keyed shuffle, all stage predicates evaluated as running
+        # window maxima over the same (ts, event_id) ordering. Integer
+        # output surface (stage counts).
+        from logparse_rs_spark.operators.behavior import funnel
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return funnel(ev, ["signup", "click", "purchase"])
+
+    def events_retention(spark, sf_dir):
+        # daily cohort retention: cohort = epoch-day of a user's first
+        # event, one row per (cohort, day offset) with returning-user
+        # counts. distinct (user, day) first so the shuffle carries
+        # active-user-days, not events; cohort derived as min(bucket) over
+        # the same partitioning (no first-event join).
+        from logparse_rs_spark.operators.behavior import retention_cohorts
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return retention_cohorts(ev, bucket_s=86400)
+
+    def events_top3_per_type(spark, sf_dir):
+        # exact top-3 by value per event type (row_number window + filter,
+        # planned with WindowGroupLimit partial pushdown — pinned in
+        # tests/test_behavior.py). value rounded on the output surface
+        # only; event_id tie-break makes the row set deterministic.
+        from logparse_rs_spark.operators.behavior import top_n_per_group
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = top_n_per_group(ev, ["event_type"], "value", 3,
+                              tiebreak_col="event_id")
+        return out.select("event_type", "rank", "event_id",
+                          F.round("value", 6).alias("value"))
+
     return {
         "log_route_counts": log_route_counts,
         "log_status_counts": log_status_counts,
@@ -1054,6 +1087,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget": doc_token_budget,
         "log_recrawl_latest": log_recrawl_latest,
         "log_blocklist_filter": log_blocklist_filter,
+        "events_funnel": events_funnel,
+        "events_retention": events_retention,
+        "events_top3_per_type": events_top3_per_type,
     }
 
 
@@ -2191,5 +2227,62 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('{pages_path}'))
         WHERE host NOT IN ({_blocked_sql})
         GROUP BY lang
+    """
+    # ordered funnel: each stage's reach is a running window max of the
+    # previous stage over the SAME (ts, event_id) ordering as Spark; the
+    # 1-PRECEDING frame makes "strictly earlier event" explicit
+    d["events_funnel"] = """
+        WITH q0 AS (SELECT user_id, event_type, ts, event_id,
+                           CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END
+                             AS s0
+                    FROM events),
+        p0 AS (SELECT *, coalesce(max(s0) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS a0
+               FROM q0),
+        q1 AS (SELECT *, CASE WHEN event_type = 'click' AND a0 = 1
+                              THEN 1 ELSE 0 END AS s1
+               FROM p0),
+        p1 AS (SELECT *, coalesce(max(s1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS a1
+               FROM q1),
+        q2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND a1 = 1
+                              THEN 1 ELSE 0 END AS s2
+               FROM p1),
+        u AS (SELECT user_id, max(s0) AS m0, max(s1) AS m1, max(s2) AS m2
+              FROM q2 GROUP BY user_id)
+        SELECT 0 AS stage_idx, 'signup' AS step, sum(m0)::BIGINT AS n_users
+        FROM u
+        UNION ALL
+        SELECT 1, 'click', sum(m1)::BIGINT FROM u
+        UNION ALL
+        SELECT 2, 'purchase', sum(m2)::BIGINT FROM u
+    """
+    # daily retention cohorts: integer epoch-day buckets, cohort =
+    # min(bucket) per user over the distinct active set
+    d["events_retention"] = """
+        WITH active AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(ts) // 86400000000 AS bucket
+          FROM events),
+        c AS (SELECT user_id, bucket,
+                     min(bucket) OVER (PARTITION BY user_id) AS cohort
+              FROM active)
+        SELECT cohort AS cohort_bucket,
+               bucket - cohort AS bucket_offset,
+               COUNT(*) AS n_users
+        FROM c GROUP BY 1, 2
+    """
+    d["events_top3_per_type"] = """
+        SELECT event_type, rank, event_id, round(value, 6) AS value
+        FROM (SELECT event_type, event_id, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id)
+                       AS rank
+              FROM events)
+        WHERE rank <= 3
     """
     return d

@@ -1,0 +1,116 @@
+"""Event-sequence behavior analytics: ordered funnels, retention cohorts,
+per-group top-N.
+
+These are the classic product-analytics operators a log pipeline grows once
+the parse/aggregate layer works (the reference stops at flat counts —
+pan_dynamic_parser.py:1087 — so this family is Spark-native ground).
+
+Scale notes (100 TB / 1e9 users):
+- ``funnel`` is ONE shuffle on the user key: every stage predicate is a
+  running window aggregate over the same (user, time) ordering, so Catalyst
+  plans a single Exchange + one Window operator evaluating all stages, then
+  a partial-aggregated global sum. No joins, no per-stage passes.
+- ``retention_cohorts`` reduces events to distinct (user, bucket) FIRST
+  (map-side partial agg shrinks the shuffle to active-user-days), then
+  derives each user's cohort as ``min(bucket)`` over the same partitioning —
+  the Exchange inserted for the distinct is reused by the window and the
+  final count, so the whole query is one user-keyed shuffle plus a small
+  (cohort, offset) rollup.
+- ``top_n_per_group`` relies on Spark's WindowGroupLimit pushdown: the
+  per-partition Partial limit keeps only N rows per group before the
+  shuffle, so a 10^12-row table with 10^3 groups moves ~N*groups rows,
+  not the table. (Pinned in tests/test_behavior.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(events: DataFrame, steps: list[str],
+           user_col: str = "user_id", type_col: str = "event_type",
+           ts_col: str = "ts", tiebreak_col: str = "event_id") -> DataFrame:
+    """Ordered conversion funnel: one row per stage with the number of
+    users who reached it IN ORDER.
+
+    A user reaches stage 0 by emitting ``steps[0]`` at least once; stage i
+    by emitting ``steps[i]`` at a strictly later event position (ordered by
+    ``(ts, tiebreak)``) than some event that already reached stage i-1.
+    Repeated step names (e.g. click -> click) are well-defined: the second
+    occurrence must be a strictly later row.
+
+    Returns (stage_idx INT, step STRING, n_users BIGINT).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w_prev = (Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    df = events
+    qual_cols = []
+    for i, step in enumerate(steps):
+        q = f"_q{i}"
+        hit = F.col(type_col) == F.lit(step)
+        if i == 0:
+            df = df.withColumn(q, hit.cast("int"))
+        else:
+            reached_prev = F.coalesce(
+                F.max(F.col(f"_q{i-1}")).over(w_prev), F.lit(0))
+            df = df.withColumn(q, (hit & (reached_prev == 1)).cast("int"))
+        qual_cols.append(q)
+    per_user = df.groupBy(user_col).agg(
+        *[F.max(q).alias(q) for q in qual_cols])
+    totals = per_user.agg(
+        *[F.sum(q).cast("long").alias(q) for q in qual_cols])
+    stack = ", ".join(
+        f"{i}, '{s}', _q{i}" for i, s in enumerate(steps))
+    return totals.select(F.expr(
+        f"stack({len(steps)}, {stack}) AS (stage_idx, step, n_users)"))
+
+
+def retention_cohorts(events: DataFrame, bucket_s: int = 86400,
+                      user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Cohort retention matrix: users grouped by the time bucket of their
+    FIRST event; for every later bucket they were active in, how many of
+    the cohort came back.
+
+    Buckets are integer floor-divisions of the epoch-microsecond timestamp
+    (timezone-independent); the cohort is simply ``min(bucket)`` per user,
+    so no separate first-event join is needed — one distinct, one window
+    over the same user partitioning, one small rollup.
+
+    Returns (cohort_bucket BIGINT, bucket_offset BIGINT, n_users BIGINT).
+    """
+    bucket_us = int(bucket_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    active = (events
+              .select(F.col(user_col).alias("_u"),
+                      (us - F.pmod(us, F.lit(bucket_us)))
+                      .alias("_bucket_us"))
+              .distinct())
+    w = Window.partitionBy("_u")
+    return (active
+            .withColumn("_cohort_us", F.min("_bucket_us").over(w))
+            .groupBy(F.expr(f"_cohort_us div {bucket_us}")
+                     .alias("cohort_bucket"),
+                     F.expr(f"(_bucket_us - _cohort_us) div {bucket_us}")
+                     .alias("bucket_offset"))
+            .agg(F.count("*").alias("n_users")))
+
+
+def top_n_per_group(df: DataFrame, group_cols: list[str], order_col: str,
+                    n: int, descending: bool = True,
+                    tiebreak_col: str | None = None) -> DataFrame:
+    """Exact top-N rows per group with a deterministic tie-break.
+
+    Expressed as row_number over a per-group window + ``<= n`` filter so
+    Spark's WindowGroupLimit rule pushes a Partial limit below the
+    Exchange: each map task forwards at most N rows per group it sees.
+    """
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    if tiebreak_col is not None:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n))

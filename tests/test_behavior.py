@@ -1,0 +1,120 @@
+"""Behavior-analytics operators: funnel ordering semantics, retention
+bucket math, top-N group-limit pushdown."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparse_rs_spark.operators.behavior import (funnel, retention_cohorts,
+                                                  top_n_per_group)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp, "
+              "event_id bigint")
+
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _t(seconds):
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+class TestFunnel:
+    def test_order_matters(self, spark):
+        rows = [
+            # u1: full ordered funnel
+            (1, "signup", _t(0), 1), (1, "click", _t(10), 2),
+            (1, "purchase", _t(20), 3),
+            # u2: purchase BEFORE click -> reaches click, not purchase
+            (2, "signup", _t(0), 4), (2, "purchase", _t(5), 5),
+            (2, "click", _t(10), 6),
+            # u3: click without signup -> reaches nothing
+            (3, "click", _t(0), 7), (3, "purchase", _t(5), 8),
+        ]
+        out = {r["step"]: r["n_users"]
+               for r in funnel(_ev(spark, rows),
+                               ["signup", "click", "purchase"]).collect()}
+        assert out == {"signup": 2, "click": 2, "purchase": 1}
+
+    def test_same_timestamp_uses_tiebreak_order(self, spark):
+        # click shares the signup's timestamp; event_id orders it later,
+        # so it counts (strictly-later POSITION, not strictly-later time)
+        rows = [(1, "signup", _t(0), 1), (1, "click", _t(0), 2)]
+        out = {r["step"]: r["n_users"]
+               for r in funnel(_ev(spark, rows),
+                               ["signup", "click"]).collect()}
+        assert out == {"signup": 1, "click": 1}
+        # reversed ids -> the click precedes the signup and must not count
+        rows = [(1, "signup", _t(0), 2), (1, "click", _t(0), 1)]
+        out = {r["step"]: r["n_users"]
+               for r in funnel(_ev(spark, rows),
+                               ["signup", "click"]).collect()}
+        assert out == {"signup": 1, "click": 0}
+
+    def test_repeated_step_needs_two_rows(self, spark):
+        rows = [(1, "click", _t(0), 1),
+                (2, "click", _t(0), 2), (2, "click", _t(1), 3)]
+        out = {r["stage_idx"]: r["n_users"]
+               for r in funnel(_ev(spark, rows),
+                               ["click", "click"]).collect()}
+        assert out == {0: 2, 1: 1}
+
+    def test_single_shuffle_plan(self, spark):
+        # every stage is a window over the same (user, ts, id) ordering:
+        # exactly one Exchange below the final single-row aggregate
+        df = funnel(_ev(spark, [(1, "signup", _t(0), 1)]),
+                    ["signup", "click", "purchase"])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one user-keyed shuffle + the single-row global sum; the dependent
+        # stage windows share ONE Sort (identical partitioning + ordering)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Exchange SinglePartition") == 1, plan
+        assert plan.count("+- Sort") == 1, plan
+
+
+class TestRetention:
+    def test_bucket_and_cohort_math(self, spark):
+        rows = [
+            (1, "view", _t(0), 1),                    # day 0 (cohort)
+            (1, "view", _t(86400 * 2 + 5), 2),        # day 2 -> offset 2
+            (1, "view", _t(86400 * 2 + 60), 3),       # same day, deduped
+            (2, "view", _t(86400), 4),                # cohort day 1
+            (2, "view", _t(86400 * 3), 5),            # offset 2
+        ]
+        out = {(r["cohort_bucket"], r["bucket_offset"]): r["n_users"]
+               for r in retention_cohorts(_ev(spark, rows)).collect()}
+        d0 = (T0 - dt.datetime(1970, 1, 1)).days
+        assert out == {(d0, 0): 1, (d0, 2): 1,
+                       (d0 + 1, 0): 1, (d0 + 1, 2): 1}
+
+    def test_offset_zero_counts_whole_cohort(self, spark):
+        rows = [(u, "view", _t(u), u) for u in range(1, 6)]
+        out = retention_cohorts(_ev(spark, rows)).collect()
+        assert len(out) == 1 and out[0]["bucket_offset"] == 0
+        assert out[0]["n_users"] == 5
+
+
+class TestTopNPerGroup:
+    def test_values_and_ties(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5.0, 1), ("a", 5.0, 2), ("a", 3.0, 3), ("a", 9.0, 4),
+             ("b", 1.0, 5)],
+            "g string, v double, id bigint")
+        out = top_n_per_group(df, ["g"], "v", 2, tiebreak_col="id")
+        got = sorted((r["g"], r["rank"], r["id"]) for r in out.collect())
+        assert got == [("a", 1, 4), ("a", 2, 1), ("b", 1, 5)]
+
+    def test_window_group_limit_pushdown(self, spark):
+        df = spark.createDataFrame(
+            [("a", float(i), i) for i in range(100)],
+            "g string, v double, id bigint")
+        out = top_n_per_group(df, ["g"], "v", 3, tiebreak_col="id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # Partial mode limit below the shuffle: the map side forwards at
+        # most N rows per group instead of the whole table
+        assert "WindowGroupLimit" in plan, plan
+        assert "Partial" in plan.split("Exchange")[-1], plan
