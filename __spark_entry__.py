@@ -1015,6 +1015,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("event_type", "rank", "event_id",
                           F.round("value", 6).alias("value"))
 
+    def doc_heavy_bigrams(spark, sf_dir):
+        # EXACT heavy hitters (bigram freq > 0.1% of the stream) via the
+        # Misra-Gries candidate pass + broadcast-semi-join exact verify —
+        # the vocab-sized shuffle of the naive groupBy never happens; the
+        # oracle is the naive exact SQL, so the gate proves the sketch
+        # plan returns the identical answer.
+        from logparse_rs_spark.operators.sketch import (heavy_hitters_exact,
+                                                        word_bigrams)
+        d = _docs(spark, sf_dir)
+        grams = d.select(F.explode(word_bigrams(F.col("text")))
+                         .alias("gram"))
+        return heavy_hitters_exact(grams, "gram", support_den=1000)
+
     return {
         "log_route_counts": log_route_counts,
         "log_status_counts": log_status_counts,
@@ -1090,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "events_retention": events_retention,
         "events_top3_per_type": events_top3_per_type,
+        "doc_heavy_bigrams": doc_heavy_bigrams,
     }
 
 
@@ -2275,6 +2289,19 @@ def oracle_sql() -> dict[str, str]:
                bucket - cohort AS bucket_offset,
                COUNT(*) AS n_users
         FROM c GROUP BY 1, 2
+    """
+    # naive exact heavy hitters — the Spark side runs the MG-candidate +
+    # exact-verify plan; identical output is exactly the claim under test
+    d["doc_heavy_bigrams"] = f"""
+        WITH w AS (SELECT list_filter(
+                     string_split_regex(lower(text), '{WSP}'),
+                     x -> x <> '') AS w
+                   FROM documents),
+        g AS (SELECT w[i] || ' ' || w[i+1] AS item
+              FROM w, unnest(range(1, len(w))) AS r(i)),
+        c AS (SELECT item, COUNT(*) AS n FROM g GROUP BY item),
+        tot AS (SELECT SUM(n) AS total FROM c)
+        SELECT c.item, c.n FROM c, tot WHERE c.n * 1000 > tot.total
     """
     d["events_top3_per_type"] = """
         SELECT event_type, rank, event_id, round(value, 6) AS value
