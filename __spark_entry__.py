@@ -458,8 +458,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         return (
+            # customer scales linearly with SF (150k rows x SF) — no forced
+            # broadcast hint; AQE promotes the build side while it fits
             li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .groupBy("c_nationkey")
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -761,18 +763,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     _stream_seq = [0]
 
-    def events_streaming_sessions(spark, sf_dir):
-        # NATIVE streaming sessionization (session_window + watermark,
-        # streaming/stream.py) driven to batch equivalence over the events
-        # table, then rolled up per user. Oracle = the same half-open gap
-        # rule (a gap of EXACTLY 30 min starts a new session) as SQL.
-        import shutil as _shutil
-
-        from logparse_rs_spark.streaming.stream import streaming_sessions
-
+    def _staged_events_dir(sf_dir) -> str:
         # the file-stream source lists a DIRECTORY; the events table is a
         # single parquet file — stage it (hardlink when possible) into a
         # per-sf fixture dir once
+        import shutil as _shutil
         tag = _sf_tag(sf_dir)
         src = os.path.join(FIXTURE_ROOT, f"eventstream_{tag}")
         dest = os.path.join(src, "events.parquet")
@@ -782,9 +777,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 os.link(f"{sf_dir}/events.parquet", dest)
             except OSError:
                 _shutil.copyfile(f"{sf_dir}/events.parquet", dest)
-        stream = (spark.readStream
-                  .schema("event_id long, ts timestamp_ntz, user_id long, "
-                          "event_type string, value double, props string")
+        return src
+
+    _EVENTS_STREAM_SCHEMA = ("event_id long, ts timestamp_ntz, "
+                             "user_id long, event_type string, "
+                             "value double, props string")
+
+    def events_streaming_attribution(spark, sf_dir):
+        # watermarked STREAM-STREAM interval join driven to batch
+        # equivalence: purchases stream x clicks stream, same user, click
+        # in the preceding 12 h (half-open) — the online form of
+        # events_attribution_join, and the oracle is the SAME raw range
+        # predicate in DuckDB, so the gate proves stream-stream == batch.
+        from logparse_rs_spark.streaming.stream import streaming_interval_join
+        src = _staged_events_dir(sf_dir)
+        ev = (spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(src))
+        clicks = (ev.filter("event_type = 'click'")
+                  .select(F.col("event_id").alias("click_id"),
+                          F.col("user_id"),
+                          F.col("ts").alias("c_start"),
+                          (F.col("ts") + F.expr("INTERVAL 12 HOURS"))
+                          .alias("c_end"),
+                          F.col("ts").alias("c_ts")))
+        ev2 = (spark.readStream.schema(_EVENTS_STREAM_SCHEMA).parquet(src))
+        purchases = (ev2.filter("event_type = 'purchase'")
+                     .select("event_id", "user_id", "ts"))
+        joined = streaming_interval_join(
+            purchases, clicks, key_col="user_id", point_ts="ts",
+            start_ts="c_start", end_ts="c_end", watermark="24 hours")
+        _stream_seq[0] += 1
+        name = f"attribution_feed_{_stream_seq[0]}"
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = spark.table(name)
+        return out.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("click_id"), F.col("user_id"),
+            (F.unix_micros(F.col("ts"))
+             - F.unix_micros(F.col("c_ts").cast("timestamp_ltz")))
+            .alias("delta_us"))
+
+    def events_streaming_sessions(spark, sf_dir):
+        # NATIVE streaming sessionization (session_window + watermark,
+        # streaming/stream.py) driven to batch equivalence over the events
+        # table, then rolled up per user. Oracle = the same half-open gap
+        # rule (a gap of EXACTLY 30 min starts a new session) as SQL.
+        from logparse_rs_spark.streaming.stream import streaming_sessions
+
+        src = _staged_events_dir(sf_dir)
+        stream = (spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
                   .parquet(src))
         _stream_seq[0] += 1
         name = f"sessions_feed_{_stream_seq[0]}"
@@ -1028,6 +1070,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          .alias("gram"))
         return heavy_hitters_exact(grams, "gram", support_den=1000)
 
+    def events_transitions(spark, sf_dir):
+        # top-20 behavior-path transitions (consecutive event-type pairs
+        # per user in (ts, event_id) order): one user-keyed shuffle, then
+        # a |types|^2-keyed count that folds map-side.
+        from logparse_rs_spark.operators.behavior import transition_counts
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return transition_counts(ev, k=20)
+
+    def doc_collocations(spark, sf_dir):
+        # PMI-style collocation mining, ranked by exact integer lift
+        # (n_xy * 1e9 DIV (n_x * n_y)) — no float division anywhere on
+        # either engine; corpus never shuffles, only vocab-sized frames.
+        from logparse_rs_spark.operators.text import collocations
+        return collocations(_docs(spark, sf_dir), k=20, min_count=5)
+
+    def doc_length_deciles(spark, sf_dir):
+        # exact global decile boundaries of n_chars WITHOUT a total sort:
+        # bounded-cardinality histogram agg + boundary selection on the
+        # histogram frame (percentile_disc semantics as an integer rule).
+        from logparse_rs_spark.operators.text import exact_quantile_bins
+        return exact_quantile_bins(_docs(spark, sf_dir), q=10)
+
+    def doc_inverted_index(spark, sf_dir):
+        # phrase-posting lists for mid-rarity word TRIGRAMS (2 <= df <= 8):
+        # the fixture vocabulary is ~30 words so no unigram is rare, but
+        # trigram phrases have a long df tail at every SF. Per-doc distinct
+        # before the explode, postings as a comma-joined ascending id
+        # string (engine-neutral render).
+        from logparse_rs_spark.operators.text import inverted_index
+        return inverted_index(_docs(spark, sf_dir), min_df=2, max_df=8,
+                              min_len=1, ngram=3)
+
     return {
         "log_route_counts": log_route_counts,
         "log_status_counts": log_status_counts,
@@ -1104,6 +1178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": events_retention,
         "events_top3_per_type": events_top3_per_type,
         "doc_heavy_bigrams": doc_heavy_bigrams,
+        "events_streaming_attribution": events_streaming_attribution,
+        "events_transitions": events_transitions,
+        "doc_collocations": doc_collocations,
+        "doc_length_deciles": doc_length_deciles,
+        "doc_inverted_index": doc_inverted_index,
     }
 
 
@@ -2311,5 +2390,59 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
               FROM events)
         WHERE rank <= 3
+    """
+    # the stream-stream interval join must reproduce the BATCH answer —
+    # the oracle is byte-identical to the batch attribution oracle
+    d["events_streaming_attribution"] = d["events_attribution_join"]
+    d["events_transitions"] = """
+        WITH p AS (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS src,
+                 event_type AS dst
+          FROM events)
+        SELECT src, dst, COUNT(*) AS n FROM p WHERE src IS NOT NULL
+        GROUP BY src, dst ORDER BY n DESC, src ASC, dst ASC LIMIT 20
+    """
+    d["doc_collocations"] = f"""
+        WITH w AS (SELECT list_filter(
+                     string_split_regex(lower(text), '{WSP}'),
+                     x -> x <> '') AS w
+                   FROM documents),
+        bi AS (SELECT w[i] AS w1, w[i+1] AS w2
+               FROM w, unnest(range(1, len(w))) AS r(i)),
+        c AS (SELECT w1, w2, COUNT(*) AS n_xy FROM bi
+              GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+        u AS (SELECT unnest(w) AS token FROM w),
+        uc AS (SELECT token, COUNT(*) AS n FROM u GROUP BY token)
+        SELECT c.w1, c.w2, c.n_xy, x.n AS n_x, y.n AS n_y,
+               (c.n_xy * 1000000000::BIGINT) // (x.n * y.n) AS score_ppb
+        FROM c JOIN uc x ON c.w1 = x.token JOIN uc y ON c.w2 = y.token
+        ORDER BY score_ppb DESC, c.n_xy DESC, c.w1 ASC, c.w2 ASC LIMIT 20
+    """
+    d["doc_length_deciles"] = """
+        WITH h AS (SELECT n_chars::BIGINT AS v, COUNT(*) AS cnt
+                   FROM documents GROUP BY v),
+        c AS (SELECT v, SUM(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM h),
+        tot AS (SELECT COUNT(*) AS n FROM documents),
+        k AS (SELECT i AS quantile, (i * tot.n + 9) // 10 AS need
+              FROM tot, unnest(range(1, 10)) AS r(i)),
+        b AS (SELECT k.quantile, MIN(c.v) AS boundary
+              FROM k JOIN c ON c.cum >= k.need GROUP BY k.quantile)
+        SELECT b.quantile, b.boundary, c.cum AS cum_rows
+        FROM b JOIN c ON c.v = b.boundary ORDER BY b.quantile
+    """
+    d["doc_inverted_index"] = f"""
+        WITH w AS (SELECT doc_id, list_filter(
+                     string_split_regex(lower(text), '{WSP}'),
+                     x -> x <> '') AS w
+                   FROM documents),
+        e AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS token
+              FROM w, unnest(range(1, len(w) - 1)) AS r(i)),
+        t AS (SELECT DISTINCT doc_id, token FROM e)
+        SELECT token, COUNT(*)::BIGINT AS df,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+        FROM t GROUP BY token HAVING COUNT(*) BETWEEN 2 AND 8
     """
     return d

@@ -114,3 +114,30 @@ def top_n_per_group(df: DataFrame, group_cols: list[str], order_col: str,
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return (df.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= n))
+
+
+def transition_counts(events: DataFrame, k: int = 20,
+                      user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      tiebreak_col: str = "event_id") -> DataFrame:
+    """Top-k behavior-path transitions: for each user's event stream in
+    ``(ts, tiebreak)`` order, count consecutive ``src -> dst`` event-type
+    pairs across the whole corpus (the Markov-transition / clickstream-path
+    table product analytics builds on top of sessionization).
+
+    Scale shape: ONE shuffle on the user key (the lag window), then a
+    type-pair aggregate whose key space is |event_types|^2 — bounded and
+    tiny — so map-side partials collapse the per-user pair stream before
+    the second (near-free) shuffle. Order is fully pinned: n desc, src,
+    dst.
+
+    Returns (src STRING, dst STRING, n BIGINT), k rows.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (events
+             .select(F.lag(type_col).over(w).alias("src"),
+                     F.col(type_col).alias("dst"))
+             .filter(F.col("src").isNotNull()))
+    return (pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
+            .limit(k))

@@ -9,7 +9,7 @@ wanted — the default fingerprint is xxhash64 (built-in, zero Python).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import WORD_SPLIT_CLASS, WS_CHARS
@@ -624,6 +624,146 @@ def mixture_sample(docs: DataFrame, rates: dict, default_rate: float = 1.0,
         thr = F.when(F.col(group_col) == g,
                      F.lit(int(round(r * resolution)))).otherwise(thr)
     return docs.filter(F.pmod(fp, F.lit(resolution)) < thr)
+
+
+def collocations(docs: DataFrame, k: int = 20, min_count: int = 5,
+                 text_col: str = "text") -> DataFrame:
+    """Top-k collocations (PMI-style lift): word bigrams that co-occur far
+    more often than their unigram frequencies predict — the phrase-mining
+    pass (new-terminology discovery, tokenizer merge candidates, boilerplate
+    phrase inventory) every corpus-analysis stack runs.
+
+    Ranking is EXACT INTEGER arithmetic: lift is monotone in
+    ``n_xy / (n_x * n_y)`` (the corpus-size factor N is constant within one
+    ranking), so we order by ``score_ppb = n_xy * 1e9 // (n_x * n_y)`` —
+    bit-identical on any engine, no float division. Ties break by n_xy
+    desc, then bigram text. min_count floors the numerator so one noise
+    pair of two hapaxes cannot top the list.
+
+    Scale shape: bigram + unigram counts are each explode -> map-side
+    partial agg -> ONE vocab-sized shuffle (Zipf does the map-side work);
+    the two count joins are token-keyed joins between vocab-sized frames —
+    the corpus itself never shuffles. No broadcast hint: vocab size scales
+    with the corpus (AQE promotes the build side while it fits). Overflow
+    bound: n_xy * 1e9 needs n_xy < 9.2e9 — per-shard rankings cover the
+    corpus sizes beyond that.
+
+    Returns (w1, w2, n_xy, n_x, n_y, score_ppb), k rows.
+    """
+    words = _words(F.col(text_col))
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.struct(F.element_at(words, i).alias("w1"),
+                               F.element_at(words, i + 1).alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (docs.select(F.explode(pairs).alias("p"))
+          .select("p.w1", "p.w2")
+          .groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+          .filter(F.col("n_xy") >= min_count))
+    uni = (docs.select(F.explode(words).alias("token"))
+           .groupBy("token").agg(F.count("*").alias("n")))
+    return (bi
+            .join(uni.select(F.col("token").alias("w1"),
+                             F.col("n").alias("n_x")), "w1")
+            .join(uni.select(F.col("token").alias("w2"),
+                             F.col("n").alias("n_y")), "w2")
+            .withColumn("score_ppb",
+                        F.expr("CAST(n_xy * CAST(1000000000 AS BIGINT) "
+                               "DIV (n_x * n_y) AS BIGINT)"))
+            .select("w1", "w2", "n_xy", "n_x", "n_y", "score_ppb")
+            .orderBy(F.desc("score_ppb"), F.desc("n_xy"),
+                     F.asc("w1"), F.asc("w2"))
+            .limit(k))
+
+
+def exact_quantile_bins(docs: DataFrame, q: int = 10,
+                        value_col: str = "n_chars") -> DataFrame:
+    """EXACT global quantile boundaries WITHOUT a global sort — the
+    data-dependent complement of ``length_histogram``'s fixed bands (corpus
+    length profiling, sequence-length bucketing for packing budgets).
+
+    boundary(kappa) for kappa = 1..q-1 is the smallest value v such that
+    ``#rows with value <= v  >=  ceil(kappa * n / q)`` — percentile_disc
+    semantics, stated as an integer rule so both engines compute the same
+    row. The corpus-side work is ONE bounded-cardinality histogram
+    aggregate (groupBy value, map-side partials); the cumulative sum and
+    boundary selection run on the histogram frame (distinct-value-sized,
+    NOT corpus-sized), where a single-partition window is the right plan.
+    An exact decile via ORDER BY would be a total-order statistic — a full
+    shuffle of the corpus; this is the two-phase form a 10^12-row table
+    needs.
+
+    Returns (quantile INT, boundary BIGINT, cum_rows BIGINT), q-1 rows.
+    """
+    hist = (docs.groupBy(F.col(value_col).cast("long").alias("v"))
+            .agg(F.count("*").alias("cnt")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select("v", F.sum("cnt").over(w).alias("cum"))
+    n_total = docs.groupBy().agg(F.count("*").alias("n"))
+    ks = (n_total.select(
+        F.explode(F.sequence(F.lit(1), F.lit(q - 1))).alias("quantile"),
+        F.col("n")))
+    need = ks.withColumn(
+        "need", F.expr(f"CAST((quantile * n + {q} - 1) DIV {q} AS BIGINT)"))
+    return (need.join(cum, cum.cum >= need.need)
+            .groupBy("quantile")
+            .agg(F.min("v").alias("boundary"))
+            .join(cum.withColumnRenamed("v", "boundary"), "boundary")
+            .select("quantile", "boundary", F.col("cum").alias("cum_rows"))
+            .orderBy("quantile"))
+
+
+def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 8,
+                   min_len: int = 8, ngram: int = 1,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Posting-list build for mid-rarity terms — the retrieval-index /
+    concordance pass (which documents mention this term/phrase?), df-banded
+    so the output is the interesting tail, not the stopword head. With
+    ``ngram > 1`` the indexed term is the space-joined word n-gram (phrase
+    postings — the exact-phrase-lookup index).
+
+    Postings are emitted as a comma-joined ASCENDING doc-id string: a
+    deterministic, engine-neutral surface (array render syntax differs
+    across engines; a joined string does not).
+
+    Scale shape: per-doc DISTINCT terms first (array_distinct inside the
+    row — dedup before the explode so the shuffle carries (term, doc)
+    once, not per occurrence), then one term-keyed shuffle. The df band
+    [min_df, max_df] bounds every posting list (max_df ids), so no
+    collect_set can blow up on a stopword; the min_len filter drops the
+    short-term head scan-side.
+
+    Returns (token, df BIGINT, postings STRING).
+    """
+    words = _words(F.col(text_col))
+    if ngram > 1:
+        terms = F.when(
+            F.size(words) >= ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (ngram - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, ngram)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        terms = words
+    toks = F.array_distinct(
+        F.filter(terms, lambda x: F.length(x) >= min_len))
+    return (docs.select(F.col(id_col), F.explode(toks).alias("token"))
+            .groupBy("token")
+            .agg(F.collect_set(id_col).alias("ids"))
+            .withColumn("df", F.size("ids").cast("long"))
+            .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+            .select(
+                "token", "df",
+                F.array_join(
+                    F.transform(F.array_sort("ids"),
+                                lambda x: x.cast("string")),
+                    ",").alias("postings")))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",

@@ -213,3 +213,39 @@ def run_stream_to_memory(spark: SparkSession, src_dir: str,
          .start())
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_interval_join(points_stream: DataFrame,
+                            intervals_stream: DataFrame,
+                            key_col: str = "user_id",
+                            point_ts: str = "ts",
+                            start_ts: str = "c_start",
+                            end_ts: str = "c_end",
+                            watermark: str = "24 hours") -> DataFrame:
+    """Watermarked STREAM-STREAM point-in-interval join — the online form
+    of ``operators/asof.interval_join`` (ad attribution, request/response
+    pairing): every point row joins every same-key interval row with
+    ``start <= point_ts < end``, as the two streams arrive in any
+    interleaving.
+
+    Spark's stream-stream inner join buffers both sides in state; the
+    explicit event-time range condition plus the two watermarks bound that
+    state (an interval older than ``watermark`` past the join range can
+    never match a future point, so the state store evicts it). At scale
+    the state is sharded by the join key across executors — the same
+    (key, time) locality the batch bucketed form exploits.
+
+    Semantics match the batch operator exactly: half-open
+    ``start <= point < end``, inner join, duplicates preserved.
+    """
+    pts = (points_stream
+           .withColumn(point_ts, F.col(point_ts).cast("timestamp"))
+           .withWatermark(point_ts, watermark))
+    ivs = (intervals_stream
+           .withColumn(start_ts, F.col(start_ts).cast("timestamp"))
+           .withColumn(end_ts, F.col(end_ts).cast("timestamp"))
+           .withWatermark(start_ts, watermark))
+    cond = ((pts[key_col] == ivs[key_col])
+            & (pts[point_ts] >= ivs[start_ts])
+            & (pts[point_ts] < ivs[end_ts]))
+    return pts.join(ivs, cond, "inner").drop(ivs[key_col])

@@ -118,3 +118,35 @@ class TestTopNPerGroup:
         # most N rows per group instead of the whole table
         assert "WindowGroupLimit" in plan, plan
         assert "Partial" in plan.split("Exchange")[-1], plan
+
+
+class TestTransitionCounts:
+    def test_pairs_and_user_isolation(self, spark):
+        from logparse_rs_spark.operators.behavior import transition_counts
+        # user 1: a -> b -> a ; user 2: b -> b. No cross-user pair:
+        # (a @u1 last) -> (b @u2 first) must NOT appear.
+        ev = _ev(spark, [
+            (1, "a", _t(0), 1), (1, "b", _t(1), 2), (1, "a", _t(2), 3),
+            (2, "b", _t(0), 4), (2, "b", _t(5), 5),
+        ])
+        got = {(r["src"], r["dst"]): r["n"]
+               for r in transition_counts(ev, k=10).collect()}
+        assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+    def test_tiebreak_orders_same_timestamp(self, spark):
+        from logparse_rs_spark.operators.behavior import transition_counts
+        # identical ts: event_id decides the sequence a(1) -> b(2)
+        ev = _ev(spark, [(1, "b", _t(0), 2), (1, "a", _t(0), 1)])
+        got = [(r["src"], r["dst"])
+               for r in transition_counts(ev, k=10).collect()]
+        assert got == [("a", "b")]
+
+    def test_single_shuffle_plan(self, spark):
+        from logparse_rs_spark.operators.behavior import transition_counts
+        ev = _ev(spark, [(1, "a", _t(0), 1), (1, "b", _t(1), 2)])
+        plan = (transition_counts(ev, k=5)
+                ._jdf.queryExecution().executedPlan().toString())
+        # one Exchange for the user window; the pair-count agg reuses or
+        # follows with a tiny |types|^2-keyed exchange at most
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 2, plan

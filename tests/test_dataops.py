@@ -1078,3 +1078,109 @@ class TestIncrementalDedup:
                                        "doc_id long, text string")
         batch = corpus.filter("doc_id < 0")
         assert incremental_dedup(batch, corpus).count() == 0
+
+
+class TestCollocations:
+    def test_integer_lift_ranking(self, spark):
+        from logparse_rs_spark.operators.text import collocations
+        # "new york" always together (lift high); "the cat"/"the dog" share
+        # a frequent left word (lift low)
+        rows = [(i, "new york") for i in range(5)]
+        rows += [(100 + i, "the cat") for i in range(5)]
+        rows += [(200 + i, "the dog") for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = collocations(df, k=10, min_count=5).collect()
+        assert out[0]["w1"] == "new" and out[0]["w2"] == "york"
+        ny = out[0]
+        # exact integer lift: 5 * 1e9 // (5 * 5) = 200_000_000
+        assert ny["score_ppb"] == 5 * 1000000000 // (5 * 5)
+        the_cat = [r for r in out if r["w1"] == "the" and r["w2"] == "cat"]
+        assert the_cat and the_cat[0]["score_ppb"] == \
+            5 * 1000000000 // (10 * 5)
+
+    def test_min_count_floor(self, spark):
+        from logparse_rs_spark.operators.text import collocations
+        df = spark.createDataFrame([(1, "rare pair"), (2, "rare pair")],
+                                   "doc_id long, text string")
+        assert collocations(df, k=10, min_count=5).count() == 0
+
+
+class TestExactQuantileBins:
+    def test_decile_rule_matches_python(self, spark):
+        import math
+        from logparse_rs_spark.operators.text import exact_quantile_bins
+        vals = [7, 1, 3, 3, 9, 11, 2, 5, 8, 4, 6, 10, 12, 2]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                   "doc_id long, n_chars long")
+        got = {r["quantile"]: (r["boundary"], r["cum_rows"])
+               for r in exact_quantile_bins(df, q=10).collect()}
+        n = len(vals)
+        s = sorted(vals)
+        for k in range(1, 10):
+            need = math.ceil(k * n / 10)
+            boundary = min(v for v in s
+                           if sum(1 for x in s if x <= v) >= need)
+            cum = sum(1 for x in s if x <= boundary)
+            assert got[k] == (boundary, cum), (k, got[k])
+
+    def test_no_corpus_sort_in_plan(self, spark):
+        from logparse_rs_spark.operators.text import exact_quantile_bins
+        df = spark.createDataFrame([(i, i % 37) for i in range(500)],
+                                   "doc_id long, n_chars long")
+        out = exact_quantile_bins(df, q=10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the only Sort operators may sit above the histogram-sized frame
+        # (window over distinct values, final orderBy) — the corpus-side
+        # plan is scan -> partial agg -> exchange on v, no global range
+        # exchange of the raw rows
+        assert plan.count("Exchange rangepartitioning") <= 2, plan
+        assert out.count() == 9
+
+    def test_partitioning_invariance(self, spark):
+        from logparse_rs_spark.operators.text import exact_quantile_bins
+        df = spark.createDataFrame([(i, (i * 13) % 101) for i in range(300)],
+                                   "doc_id long, n_chars long")
+        a = sorted(map(tuple, exact_quantile_bins(df, q=4).collect()))
+        b = sorted(map(tuple,
+                       exact_quantile_bins(df.repartition(17), q=4)
+                       .collect()))
+        assert a == b
+
+
+class TestInvertedIndex:
+    def test_postings_sorted_distinct_banded(self, spark):
+        from logparse_rs_spark.operators.text import inverted_index
+        df = spark.createDataFrame([
+            (3, "mitochondria mitochondria extra"),
+            (1, "mitochondria potato"),
+            (2, "mitochondria"),
+            (4, "singleton_token_here"),
+        ], "doc_id long, text string")
+        out = {r["token"]: (r["df"], r["postings"])
+               for r in inverted_index(df, min_df=2, max_df=8,
+                                       min_len=8).collect()}
+        # within-doc repeats collapse; ids ascend; df band drops the
+        # singleton; short tokens (potato, extra) drop scan-side
+        assert out == {"mitochondria": (3, "1,2,3")}
+
+    def test_max_df_caps_stopword_head(self, spark):
+        from logparse_rs_spark.operators.text import inverted_index
+        df = spark.createDataFrame(
+            [(i, "everywhere_token") for i in range(20)],
+            "doc_id long, text string")
+        assert inverted_index(df, min_df=2, max_df=8,
+                              min_len=8).count() == 0
+
+    def test_ngram_phrase_postings(self, spark):
+        from logparse_rs_spark.operators.text import inverted_index
+        # the trigram "quick brown fox" spans docs 1 and 2 (distinct even
+        # though doc 2 repeats it); too-short docs contribute no grams
+        df = spark.createDataFrame([
+            (1, "the quick brown fox jumps"),
+            (2, "quick brown fox quick brown fox"),
+            (3, "quick brown"),
+        ], "doc_id long, text string")
+        out = {r["token"]: (r["df"], r["postings"])
+               for r in inverted_index(df, min_df=2, max_df=8,
+                                       min_len=1, ngram=3).collect()}
+        assert out == {"quick brown fox": (2, "1,2")}

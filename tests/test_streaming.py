@@ -381,3 +381,60 @@ class TestKafkaPlanShape:
         from logparse_rs_spark.streaming.stream import read_lines_kafka
         with _pytest.raises(Exception, match="(?i)kafka"):
             read_lines_kafka(spark, "broker:9092", "logs")
+
+
+class TestStreamStreamIntervalJoin:
+    def test_matches_batch_join_across_microbatches(self, spark, tmp_path):
+        """Points and intervals arrive in separate micro-batch files in a
+        hostile order (a point's matching interval lands in a LATER batch);
+        the stream-stream join must still emit exactly the batch answer."""
+        import datetime as dt
+
+        from logparse_rs_spark.streaming.stream import streaming_interval_join
+
+        t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+        def ts(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        # intervals: user 1 click@0 (covers [0, 60)), user 1 click@90,
+        # user 2 click@10. points: u1@30 (matches click@0 only), u1@59.99…
+        # boundary, u1@60 (half-open: does NOT match click@0), u2@5 (before
+        # u2's interval -> no match), u2@20 (matches)
+        iv_rows = [
+            (101, 1, ts(0), ts(60), ts(0)),
+            (102, 1, ts(90), ts(150), ts(90)),
+            (103, 2, ts(10), ts(70), ts(10)),
+        ]
+        pt_rows = [
+            (201, 1, ts(30)), (202, 1, ts(60)), (203, 2, ts(5)),
+            (204, 2, ts(20)), (205, 1, ts(95)),
+        ]
+        iv_schema = ("click_id long, user_id long, c_start timestamp_ntz, "
+                     "c_end timestamp_ntz, c_ts timestamp_ntz")
+        pt_schema = "event_id long, user_id long, ts timestamp_ntz"
+        iv_dir = tmp_path / "iv"
+        pt_dir = tmp_path / "pt"
+        # split so the match for point 204 arrives after the point itself
+        spark.createDataFrame(iv_rows[:2], iv_schema).coalesce(1) \
+            .write.parquet(str(iv_dir / "b0"))
+        spark.createDataFrame(iv_rows[2:], iv_schema).coalesce(1) \
+            .write.parquet(str(iv_dir / "b1"))
+        spark.createDataFrame(pt_rows, pt_schema).coalesce(1) \
+            .write.parquet(str(pt_dir / "b0"))
+
+        ivs = (spark.readStream.schema(iv_schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(str(iv_dir) + "/*"))
+        pts = (spark.readStream.schema(pt_schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(str(pt_dir) + "/*"))
+        joined = streaming_interval_join(pts, ivs, key_col="user_id",
+                                         point_ts="ts", start_ts="c_start",
+                                         end_ts="c_end", watermark="2 hours")
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName("ssj_test").trigger(availableNow=True).start())
+        q.awaitTermination()
+        got = sorted((r["event_id"], r["click_id"])
+                     for r in spark.table("ssj_test").collect())
+        assert got == [(201, 101), (204, 103), (205, 102)]
