@@ -783,6 +783,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              "user_id long, event_type string, "
                              "value double, props string")
 
+    def _stream_checkpoint() -> str:
+        # explicit checkpoint dir on tmpfs when available: the implicit
+        # temp checkpoint goes to the virtual disk, whose writeback queue
+        # dominates state-store commit time in this sandbox (BENCH/NOTES
+        # §6). On a real cluster this is an HDFS/object-store path.
+        import tempfile
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        return tempfile.mkdtemp(prefix="lps_ckpt_", dir=base)
+
+    class _bounded_state_partitions:
+        # state-store instances = shuffle partitions at stream start; a
+        # stream-stream join runs FOUR stores per partition, so a bounded
+        # fixture stream wants few fat partitions, not the batch default.
+        # (At cluster scale the right number tracks executor count — this
+        # is per-run tuning, not semantics.)
+        def __init__(self, spark, n):
+            self.spark, self.n = spark, str(n)
+
+        def __enter__(self):
+            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+        def __exit__(self, *exc):
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
     def events_streaming_attribution(spark, sf_dir):
         # watermarked STREAM-STREAM interval join driven to batch
         # equivalence: purchases stream x clicks stream, same user, click
@@ -807,9 +832,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             start_ts="c_start", end_ts="c_end", watermark="24 hours")
         _stream_seq[0] += 1
         name = f"attribution_feed_{_stream_seq[0]}"
-        q = (joined.writeStream.outputMode("append").format("memory")
-             .queryName(name).trigger(availableNow=True).start())
-        q.awaitTermination()
+        with _bounded_state_partitions(spark, 8):
+            q = (joined.writeStream.outputMode("append").format("memory")
+                 .option("checkpointLocation", _stream_checkpoint())
+                 .queryName(name).trigger(availableNow=True).start())
+            q.awaitTermination()
         out = spark.table(name)
         return out.select(
             F.col("event_id").alias("purchase_id"),
@@ -830,10 +857,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .parquet(src))
         _stream_seq[0] += 1
         name = f"sessions_feed_{_stream_seq[0]}"
-        q = (streaming_sessions(stream, gap="30 minutes")
-             .writeStream.outputMode("complete").format("memory")
-             .queryName(name).trigger(availableNow=True).start())
-        q.awaitTermination()
+        with _bounded_state_partitions(spark, 8):
+            q = (streaming_sessions(stream, gap="30 minutes")
+                 .writeStream.outputMode("complete").format("memory")
+                 .option("checkpointLocation", _stream_checkpoint())
+                 .queryName(name).trigger(availableNow=True).start())
+            q.awaitTermination()
         return (spark.table(name).groupBy("user_id")
                 .agg(F.count("*").alias("n_sessions"),
                      F.sum("n_events").cast("long").alias("n_events")))
@@ -879,10 +908,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .option("maxFilesPerTrigger", 1).parquet(src))
         _stream_dedup_seq[0] += 1
         name = f"dedup_feed_{_stream_dedup_seq[0]}"
-        q = (streaming_exact_dedup(stream).writeStream
-             .outputMode("append").format("memory").queryName(name)
-             .trigger(availableNow=True).start())
-        q.awaitTermination()
+        with _bounded_state_partitions(spark, 8):
+            q = (streaming_exact_dedup(stream).writeStream
+                 .outputMode("append").format("memory").queryName(name)
+                 .option("checkpointLocation", _stream_checkpoint())
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
         return spark.table(name).select("doc_id")
 
     def events_running_total(spark, sf_dir):
@@ -1102,6 +1133,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return inverted_index(_docs(spark, sf_dir), min_df=2, max_df=8,
                               min_len=1, ngram=3)
 
+    def doc_related_pairs(spark, sf_dir):
+        # "more like this" candidate pairs: docs sharing >= 2 mid-rarity
+        # trigram posting lists — pair explosion bounded by max_df per
+        # term, never by corpus size.
+        from logparse_rs_spark.operators.text import related_doc_pairs
+        return related_doc_pairs(_docs(spark, sf_dir), min_shared=2,
+                                 min_df=2, max_df=8, min_len=1, ngram=3)
+
+    def doc_bpe_pairs(spark, sf_dir):
+        # BPE-trainer inner loop: top-20 adjacent character pairs weighted
+        # by word frequency; the corpus collapses to the vocab table first,
+        # pair counting runs on vocab-sized data only.
+        from logparse_rs_spark.operators.text import bpe_pair_counts
+        return bpe_pair_counts(_docs(spark, sf_dir), k=20)
+
+    def doc_tfidf_topk(spark, sf_dir):
+        # ranked retrieval for a fixed 3-term query under exact-integer
+        # tf-idf (idf_ppb = N * 1e9 DIV df) — scan keeps only query-term
+        # hits, df/N computed in-plan and broadcast (no driver collect).
+        from logparse_rs_spark.operators.text import tfidf_topk
+        return tfidf_topk(_docs(spark, sf_dir),
+                          terms=["vector", "window", "customer"], k=20)
+
+    def doc_decile_stats(spark, sf_dir):
+        # composes exact_quantile_bins into a bucket assignment (broadcast
+        # non-equi join against the 9-row boundary frame) + per-band stats.
+        from logparse_rs_spark.operators.text import quantile_bucket_stats
+        return quantile_bucket_stats(_docs(spark, sf_dir), q=10)
+
+    def events_scd2_versions(spark, sf_dir):
+        # SCD2 validity intervals over each user's signup stream: version
+        # number, [valid_from, valid_to) in epoch micros, is_current flag.
+        # One user-keyed shuffle; window ordering shared by all outputs.
+        from logparse_rs_spark.operators.behavior import versioned_intervals
+        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .filter(F.col("event_type") == "signup"))
+        return versioned_intervals(ev, key_cols=["user_id"])
+
     return {
         "log_route_counts": log_route_counts,
         "log_status_counts": log_status_counts,
@@ -1183,6 +1252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_collocations": doc_collocations,
         "doc_length_deciles": doc_length_deciles,
         "doc_inverted_index": doc_inverted_index,
+        "doc_related_pairs": doc_related_pairs,
+        "doc_bpe_pairs": doc_bpe_pairs,
+        "doc_tfidf_topk": doc_tfidf_topk,
+        "doc_decile_stats": doc_decile_stats,
+        "events_scd2_versions": events_scd2_versions,
     }
 
 
@@ -2444,5 +2518,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, COUNT(*)::BIGINT AS df,
                string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
         FROM t GROUP BY token HAVING COUNT(*) BETWEEN 2 AND 8
+    """
+    d["doc_related_pairs"] = f"""
+        WITH w AS (SELECT doc_id, list_filter(
+                     string_split_regex(lower(text), '{WSP}'),
+                     x -> x <> '') AS w
+                   FROM documents),
+        e AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS token
+              FROM w, unnest(range(1, len(w) - 1)) AS r(i)),
+        t AS (SELECT DISTINCT doc_id, token FROM e),
+        dl AS (SELECT token, list(doc_id) AS ids FROM t
+               GROUP BY token HAVING COUNT(*) BETWEEN 2 AND 8),
+        p AS (SELECT ia AS id_a, ib AS id_b
+              FROM dl, unnest(dl.ids) AS ua(ia), unnest(dl.ids) AS ub(ib)
+              WHERE ia < ib)
+        SELECT id_a, id_b, COUNT(*)::BIGINT AS shared_terms
+        FROM p GROUP BY id_a, id_b HAVING COUNT(*) >= 2
+    """
+    d["doc_bpe_pairs"] = f"""
+        WITH wd AS (SELECT unnest(list_filter(
+                      string_split_regex(lower(text), '{WSP}'),
+                      x -> x <> '')) AS word
+                    FROM documents),
+        wc AS (SELECT word, COUNT(*) AS n FROM wd GROUP BY word),
+        ch AS (SELECT n, string_split(word, '') AS cs FROM wc),
+        p AS (SELECT cs[i] AS a, cs[i+1] AS b, n
+              FROM ch, unnest(range(1, len(cs))) AS r(i))
+        SELECT a, b, SUM(n)::BIGINT AS weighted_count
+        FROM p GROUP BY a, b
+        ORDER BY weighted_count DESC, a ASC, b ASC LIMIT 20
+    """
+    d["doc_tfidf_topk"] = f"""
+        WITH w AS (SELECT doc_id, unnest(list_filter(
+                     string_split_regex(lower(text), '{WSP}'),
+                     x -> x <> '')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+               WHERE term IN ('vector', 'window', 'customer')
+               GROUP BY doc_id, term),
+        dft AS (SELECT term, COUNT(DISTINCT doc_id) AS term_df
+                FROM tf GROUP BY term),
+        tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+        idf AS (SELECT term,
+                       (n_docs * 1000000000::BIGINT) // term_df AS idf_ppb
+                FROM dft, tot)
+        SELECT tf.doc_id, SUM(tf.tf * idf.idf_ppb)::BIGINT AS score_ppb
+        FROM tf JOIN idf USING (term)
+        GROUP BY tf.doc_id ORDER BY score_ppb DESC, doc_id ASC LIMIT 20
+    """
+    d["doc_decile_stats"] = """
+        WITH h AS (SELECT n_chars::BIGINT AS v, COUNT(*) AS cnt
+                   FROM documents GROUP BY v),
+        c AS (SELECT v, SUM(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM h),
+        tot AS (SELECT COUNT(*) AS n FROM documents),
+        k AS (SELECT i AS quantile, (i * tot.n + 9) // 10 AS need
+              FROM tot, unnest(range(1, 10)) AS r(i)),
+        b AS (SELECT k.quantile, MIN(c.v) AS boundary
+              FROM k JOIN c ON c.cum >= k.need GROUP BY k.quantile),
+        asg AS (SELECT d.doc_id, d.n_chars::BIGINT AS v,
+                       (1 + COUNT(b.boundary))::INT AS bucket
+                FROM documents d LEFT JOIN b ON d.n_chars::BIGINT > b.boundary
+                GROUP BY d.doc_id, d.n_chars)
+        SELECT bucket, COUNT(*)::BIGINT AS n_docs,
+               MIN(v) AS min_v, MAX(v) AS max_v, SUM(v)::BIGINT AS total_v
+        FROM asg GROUP BY bucket ORDER BY bucket
+    """
+    d["events_scd2_versions"] = """
+        SELECT user_id, event_id,
+               (ROW_NUMBER() OVER w)::INT AS version,
+               epoch_us(ts) AS valid_from_us,
+               LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+               (LEAD(epoch_us(ts)) OVER w IS NULL) AS is_current
+        FROM events WHERE event_type = 'signup'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
     return d

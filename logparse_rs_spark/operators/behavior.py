@@ -141,3 +141,37 @@ def transition_counts(events: DataFrame, k: int = 20,
     return (pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
             .limit(k))
+
+
+def versioned_intervals(events: DataFrame, key_cols: list[str] | None = None,
+                        ts_col: str = "ts",
+                        tiebreak_col: str = "event_id") -> DataFrame:
+    """SCD2-style validity intervals: treat each key's event stream as a
+    sequence of record VERSIONS and emit, per version, its validity window
+    ``[valid_from, valid_to)`` plus a version number and an is_current
+    flag — the slowly-changing-dimension snapshot build every warehouse
+    runs when folding a change log into a queryable history table.
+
+    Timestamps are emitted as epoch MICROSECONDS (BIGINT) computed against
+    an NTZ epoch literal, so no engine- or session-timezone rendering can
+    differ between Spark and an oracle (same timezone-proofing as
+    events_running_total). valid_to is NULL for the current version.
+
+    Scale shape: ONE shuffle on the key columns; version number, the lead
+    lookup, and the is_current flag all share the same Window ordering, so
+    Catalyst plans a single Exchange + Sort + one Window operator. At
+    10^12 change rows this is the minimum possible movement — every
+    per-key computation needs the key's rows co-located once.
+    """
+    keys = list(key_cols) if key_cols else ["user_id"]
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak_col)
+    ts_us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"{ts_col})")
+    return events.select(
+        *keys,
+        F.col(tiebreak_col),
+        F.row_number().over(w).alias("version"),
+        ts_us.alias("valid_from_us"),
+        F.lead(ts_us).over(w).alias("valid_to_us"),
+        F.lead(ts_us).over(w).isNull().alias("is_current"))

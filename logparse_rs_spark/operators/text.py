@@ -740,6 +740,19 @@ def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 8,
 
     Returns (token, df BIGINT, postings STRING).
     """
+    posts = _posting_ids(docs, min_df, max_df, min_len, ngram,
+                         text_col, id_col)
+    return posts.select(
+        "token", "df",
+        F.array_join(
+            F.transform(F.array_sort("ids"), lambda x: x.cast("string")),
+            ",").alias("postings"))
+
+
+def _posting_ids(docs: DataFrame, min_df: int, max_df: int, min_len: int,
+                 ngram: int, text_col: str, id_col: str) -> DataFrame:
+    """Shared posting-list core: (token, df BIGINT, ids array) with df in
+    [min_df, max_df] — so every ids array is bounded by max_df."""
     words = _words(F.col(text_col))
     if ngram > 1:
         terms = F.when(
@@ -757,13 +770,142 @@ def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 8,
             .groupBy("token")
             .agg(F.collect_set(id_col).alias("ids"))
             .withColumn("df", F.size("ids").cast("long"))
-            .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
-            .select(
-                "token", "df",
-                F.array_join(
-                    F.transform(F.array_sort("ids"),
-                                lambda x: x.cast("string")),
-                    ",").alias("postings")))
+            .filter((F.col("df") >= min_df) & (F.col("df") <= max_df)))
+
+
+def related_doc_pairs(docs: DataFrame, min_shared: int = 2,
+                      min_df: int = 2, max_df: int = 8, min_len: int = 1,
+                      ngram: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Related-document candidate pairs via shared MID-RARITY phrases: two
+    docs are related when they co-occur on >= min_shared posting lists of
+    df-banded terms (the "more like this" retrieval pass, and a third
+    candidate generator for near-dup mining alongside MinHash-LSH and
+    SimHash — rare-phrase co-occurrence catches partial overlap the
+    whole-document sketches dilute).
+
+    Scale shape: the pair explosion is bounded BY CONSTRUCTION — every
+    posting list has <= max_df ids, so each term emits <= C(max_df, 2)
+    pairs regardless of corpus size (contrast a naive token self-join,
+    where one stopword emits 10^12 x 10^12 pairs). One term-keyed shuffle
+    builds the lists; the pair aggregate shuffles only candidate pairs.
+
+    Returns (id_a, id_b, shared_terms BIGINT), id_a < id_b, unordered set.
+    """
+    posts = _posting_ids(docs, min_df, max_df, min_len, ngram,
+                         text_col, id_col)
+    pairs = (posts.select(F.explode("ids").alias("id_a"), "ids")
+             .select("id_a", F.explode("ids").alias("id_b"))
+             .filter(F.col("id_a") < F.col("id_b")))
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("shared_terms"))
+            .filter(F.col("shared_terms") >= min_shared))
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """One round of the BPE-trainer inner loop: the top-k adjacent symbol
+    pairs, weighted by word frequency — the distributed-expensive step of
+    byte-pair-encoding tokenizer training (each merge round picks the
+    heaviest pair; this computes that ranking from the corpus).
+
+    Scale shape: the corpus collapses to the word-frequency table FIRST
+    (one vocab-sized shuffle with map-side partials doing the Zipf work);
+    pair extraction and weighting then run on the VOCAB frame — the
+    corpus is never touched again, which is exactly how production BPE
+    trainers structure the count (word counts once, merge rounds on the
+    vocab). Iterating merges = re-running this on a vocab frame with the
+    winning pair concatenated — driver rounds over vocab-sized data.
+
+    Exact integer weights; order pinned (weighted_count desc, a, b).
+    Returns (a STRING, b STRING, weighted_count BIGINT), k rows.
+    """
+    wc = (docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("n")))
+    cs = F.split(F.col("word"), "")
+    pairs = F.when(
+        F.size(cs) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(cs) - 1),
+            lambda i: F.struct(F.element_at(cs, i).alias("a"),
+                               F.element_at(cs, i + 1).alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (wc.select(F.explode(pairs).alias("p"), "n")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("weighted_count"))
+            .orderBy(F.desc("weighted_count"), F.asc("a"), F.asc("b"))
+            .limit(k))
+
+
+def tfidf_topk(docs: DataFrame, terms: list, k: int = 20,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Ranked retrieval: top-k documents for a bag-of-terms query under
+    tf-idf scoring with an exact-integer idf (idf_ppb = N * 1e9 DIV df) —
+    float-free on purpose so the ranking is bit-identical on any engine
+    (log-idf changes WEIGHTS, not which docs the index structure touches).
+
+    Scale shape: the scan keeps only query-term hits (the filter runs
+    inside the per-row higher-order function, so the exploded frame is
+    (matching docs x |terms|)-sized, not corpus-sized); df and the doc
+    count are computed in-plan and broadcast back (|terms|+1 rows — no
+    driver collect); the only shuffles are keyed on the tiny hit frame.
+    A production index would read df from the posting-list table instead
+    of recounting — same plan from the join onward.
+
+    Returns (doc_id, score_ppb BIGINT), k rows, ties pinned by doc_id.
+    """
+    words = _words(F.col(text_col))
+    hits = F.filter(words, lambda x: x.isin(*terms))
+    tf = (docs.select(F.col(id_col), F.explode(hits).alias("term"))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    df_t = tf.groupBy("term").agg(
+        F.countDistinct(id_col).alias("term_df"))
+    total = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    idf = (df_t.crossJoin(F.broadcast(total))
+           .select("term",
+                   F.expr("CAST(n_docs * CAST(1000000000 AS BIGINT) "
+                          "DIV term_df AS BIGINT)").alias("idf_ppb")))
+    return (tf.join(F.broadcast(idf), "term")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("tf") * F.col("idf_ppb")).alias("score_ppb"))
+            .orderBy(F.desc("score_ppb"), F.asc(id_col))
+            .limit(k))
+
+
+def quantile_bucket_stats(docs: DataFrame, q: int = 10,
+                          value_col: str = "n_chars",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-quantile-bucket corpus stats: compose ``exact_quantile_bins``
+    into a bucket ASSIGNMENT (row -> which decile band) and aggregate each
+    band (the length-stratified corpus profile: how many docs and chars
+    live in each decile of the length distribution).
+
+    Bucket rule, engine-neutral: bucket = 1 + #boundaries STRICTLY below
+    the value (so value == boundary_k lands in bucket k, matching the
+    percentile_disc boundary semantics of exact_quantile_bins).
+
+    Scale shape: the boundary frame is q-1 rows — broadcast; the
+    assignment is a broadcast non-equi join + per-row count, so the
+    corpus is scanned once and shuffled only by the q-sized bucket key
+    for the final aggregate (map-side partials collapse it).
+
+    Returns (bucket INT, n_docs, min_v, max_v, total_v), <= q rows.
+    """
+    bounds = (exact_quantile_bins(docs, q=q, value_col=value_col)
+              .select("boundary"))
+    v = F.col(value_col).cast("long")
+    assigned = (docs.select(F.col(id_col), v.alias("v"))
+                .join(F.broadcast(bounds),
+                      F.col("v") > F.col("boundary"), "left")
+                .groupBy(id_col, "v")
+                .agg((F.count("boundary") + 1).cast("int").alias("bucket")))
+    return (assigned.groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("v").alias("min_v"),
+                 F.max("v").alias("max_v"),
+                 F.sum("v").alias("total_v"))
+            .orderBy("bucket"))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text",

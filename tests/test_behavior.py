@@ -150,3 +150,31 @@ class TestTransitionCounts:
         # follows with a tiny |types|^2-keyed exchange at most
         n_exchanges = plan.count("Exchange hashpartitioning")
         assert n_exchanges <= 2, plan
+
+
+class TestVersionedIntervals:
+    def test_versions_and_validity_chain(self, spark):
+        from logparse_rs_spark.operators.behavior import versioned_intervals
+        ev = _ev(spark, [
+            (1, "signup", _t(0), 1), (1, "signup", _t(10), 2),
+            (1, "signup", _t(20), 3), (2, "signup", _t(5), 4),
+        ])
+        rows = {r["event_id"]: r for r in
+                versioned_intervals(ev, key_cols=["user_id"]).collect()}
+        assert [rows[i]["version"] for i in (1, 2, 3)] == [1, 2, 3]
+        # each version's valid_to == the next version's valid_from
+        assert rows[1]["valid_to_us"] == rows[2]["valid_from_us"]
+        assert rows[2]["valid_to_us"] == rows[3]["valid_from_us"]
+        assert rows[3]["valid_to_us"] is None and rows[3]["is_current"]
+        assert not rows[1]["is_current"]
+        # user 2's single version is current with version 1
+        assert rows[4]["version"] == 1 and rows[4]["is_current"]
+
+    def test_single_window_single_exchange(self, spark):
+        from logparse_rs_spark.operators.behavior import versioned_intervals
+        ev = _ev(spark, [(1, "signup", _t(0), 1), (1, "signup", _t(9), 2)])
+        plan = (versioned_intervals(ev, key_cols=["user_id"])
+                ._jdf.queryExecution().executedPlan().toString())
+        # version/lead/is_current share one Window + one Exchange
+        assert plan.count("Window") == 1, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -1184,3 +1184,101 @@ class TestInvertedIndex:
                for r in inverted_index(df, min_df=2, max_df=8,
                                        min_len=1, ngram=3).collect()}
         assert out == {"quick brown fox": (2, "1,2")}
+
+
+class TestRelatedDocPairs:
+    def test_shared_phrase_pairs(self, spark):
+        from logparse_rs_spark.operators.text import related_doc_pairs
+        # docs 1,2 share TWO distinct trigrams; docs 1,3 share one; the
+        # "common common common..." trigram exceeds max_df=2 and is banded
+        # out, so it creates no pairs
+        df = spark.createDataFrame([
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "x y gamma delta epsilon"),
+            (4, "common run here"), (5, "common run here"),
+            (6, "common run here"),
+        ], "doc_id long, text string")
+        out = {(r["id_a"], r["id_b"]): r["shared_terms"]
+               for r in related_doc_pairs(df, min_shared=2, min_df=2,
+                                          max_df=2, ngram=3).collect()}
+        # "alpha beta gamma" + "beta gamma delta" -> (1,2) shared 2;
+        # (1,3) shares only "gamma delta epsilon" -> below min_shared
+        assert out == {(1, 2): 2}
+
+    def test_pair_fanout_bounded_by_max_df(self, spark):
+        from logparse_rs_spark.operators.text import related_doc_pairs
+        # 20 identical docs: every trigram has df=20 > max_df=8 -> banded
+        # out entirely, the all-pairs explosion never happens
+        df = spark.createDataFrame(
+            [(i, "one two three four five") for i in range(20)],
+            "doc_id long, text string")
+        assert related_doc_pairs(df, min_shared=1, min_df=2, max_df=8,
+                                 ngram=3).count() == 0
+
+
+class TestBpePairCounts:
+    def test_weighted_by_word_frequency(self, spark):
+        from logparse_rs_spark.operators.text import bpe_pair_counts
+        # "ab" x3, "abc" x1 -> pair (a,b) weight 4, (b,c) weight 1;
+        # single-char word contributes nothing
+        df = spark.createDataFrame(
+            [(1, "ab ab x"), (2, "ab abc")], "doc_id long, text string")
+        got = {(r["a"], r["b"]): r["weighted_count"]
+               for r in bpe_pair_counts(df, k=10).collect()}
+        assert got == {("a", "b"): 4, ("b", "c"): 1}
+
+    def test_vocab_not_corpus_scaling(self, spark):
+        from logparse_rs_spark.operators.text import bpe_pair_counts
+        # 1000 repeats of one word = same output as 1 (weights differ)
+        df = spark.createDataFrame(
+            [(i, "hello") for i in range(1000)], "doc_id long, text string")
+        got = {(r["a"], r["b"]): r["weighted_count"]
+               for r in bpe_pair_counts(df, k=10).collect()}
+        assert got == {("h", "e"): 1000, ("e", "l"): 1000,
+                       ("l", "l"): 1000, ("l", "o"): 1000}
+
+
+class TestTfidfTopk:
+    def test_exact_integer_scores(self, spark):
+        from logparse_rs_spark.operators.text import tfidf_topk
+        # N=4 docs; "rare" df=1 (idf 4e9), "both" df=2 (idf 2e9)
+        df = spark.createDataFrame([
+            (1, "rare both"), (2, "both both"),
+            (3, "other words"), (4, "more other"),
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: r["score_ppb"]
+               for r in tfidf_topk(df, terms=["rare", "both"],
+                                   k=10).collect()}
+        assert got == {1: 4_000_000_000 + 2_000_000_000,
+                       2: 2 * 2_000_000_000}
+
+    def test_tie_pinned_by_doc_id(self, spark):
+        from logparse_rs_spark.operators.text import tfidf_topk
+        df = spark.createDataFrame(
+            [(9, "term"), (3, "term"), (7, "term")],
+            "doc_id long, text string")
+        ids = [r["doc_id"]
+               for r in tfidf_topk(df, terms=["term"], k=2).collect()]
+        assert ids == [3, 7]
+
+
+class TestQuantileBucketStats:
+    def test_bucket_rule_boundary_inclusive(self, spark):
+        from logparse_rs_spark.operators.text import quantile_bucket_stats
+        # quartiles of 1..8: boundaries 2,4,6 — value == boundary stays in
+        # the lower bucket (strictly-below counting)
+        df = spark.createDataFrame([(i, i) for i in range(1, 9)],
+                                   "doc_id long, n_chars long")
+        got = {r["bucket"]: (r["n_docs"], r["min_v"], r["max_v"],
+                             r["total_v"])
+               for r in quantile_bucket_stats(df, q=4).collect()}
+        assert got == {1: (2, 1, 2, 3), 2: (2, 3, 4, 7),
+                       3: (2, 5, 6, 11), 4: (2, 7, 8, 15)}
+
+    def test_every_doc_assigned_once(self, spark):
+        from logparse_rs_spark.operators.text import quantile_bucket_stats
+        df = spark.createDataFrame([(i, (i * 7) % 23) for i in range(200)],
+                                   "doc_id long, n_chars long")
+        rows = quantile_bucket_stats(df, q=10).collect()
+        assert sum(r["n_docs"] for r in rows) == 200
