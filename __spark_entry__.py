@@ -788,9 +788,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temp checkpoint goes to the virtual disk, whose writeback queue
         # dominates state-store commit time in this sandbox (BENCH/NOTES
         # §6). On a real cluster this is an HDFS/object-store path.
+        # tmpfs must not leak: dirs embed the owning pid; dead-owner dirs
+        # are reaped here, and each query removes its own on completion.
+        import glob as _glob
+        import shutil as _shutil
         import tempfile
         base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-        return tempfile.mkdtemp(prefix="lps_ckpt_", dir=base)
+        if base:
+            for stale in _glob.glob(os.path.join(base, "lps_ckpt_*_p*")):
+                try:
+                    os.kill(int(stale.rsplit("_p", 1)[1]), 0)
+                except (ValueError, ProcessLookupError):
+                    _shutil.rmtree(stale, ignore_errors=True)
+                except PermissionError:
+                    pass  # alive under another user
+        return tempfile.mkdtemp(prefix="lps_ckpt_", dir=base,
+                                suffix=f"_p{os.getpid()}")
 
     class _bounded_state_partitions:
         # state-store instances = shuffle partitions at stream start; a
@@ -832,11 +845,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             start_ts="c_start", end_ts="c_end", watermark="24 hours")
         _stream_seq[0] += 1
         name = f"attribution_feed_{_stream_seq[0]}"
-        with _bounded_state_partitions(spark, 8):
-            q = (joined.writeStream.outputMode("append").format("memory")
-                 .option("checkpointLocation", _stream_checkpoint())
-                 .queryName(name).trigger(availableNow=True).start())
-            q.awaitTermination()
+        import shutil as _shutil
+        ckpt = _stream_checkpoint()
+        try:
+            with _bounded_state_partitions(spark, 8):
+                q = (joined.writeStream.outputMode("append")
+                     .format("memory")
+                     .option("checkpointLocation", ckpt)
+                     .queryName(name).trigger(availableNow=True).start())
+                q.awaitTermination()
+        finally:
+            _shutil.rmtree(ckpt, ignore_errors=True)
         out = spark.table(name)
         return out.select(
             F.col("event_id").alias("purchase_id"),
@@ -857,12 +876,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .parquet(src))
         _stream_seq[0] += 1
         name = f"sessions_feed_{_stream_seq[0]}"
-        with _bounded_state_partitions(spark, 8):
-            q = (streaming_sessions(stream, gap="30 minutes")
-                 .writeStream.outputMode("complete").format("memory")
-                 .option("checkpointLocation", _stream_checkpoint())
-                 .queryName(name).trigger(availableNow=True).start())
-            q.awaitTermination()
+        import shutil as _shutil
+        ckpt = _stream_checkpoint()
+        try:
+            with _bounded_state_partitions(spark, 8):
+                q = (streaming_sessions(stream, gap="30 minutes")
+                     .writeStream.outputMode("complete").format("memory")
+                     .option("checkpointLocation", ckpt)
+                     .queryName(name).trigger(availableNow=True).start())
+                q.awaitTermination()
+        finally:
+            _shutil.rmtree(ckpt, ignore_errors=True)
         return (spark.table(name).groupBy("user_id")
                 .agg(F.count("*").alias("n_sessions"),
                      F.sum("n_events").cast("long").alias("n_events")))
@@ -908,12 +932,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .option("maxFilesPerTrigger", 1).parquet(src))
         _stream_dedup_seq[0] += 1
         name = f"dedup_feed_{_stream_dedup_seq[0]}"
-        with _bounded_state_partitions(spark, 8):
-            q = (streaming_exact_dedup(stream).writeStream
-                 .outputMode("append").format("memory").queryName(name)
-                 .option("checkpointLocation", _stream_checkpoint())
-                 .trigger(availableNow=True).start())
-            q.awaitTermination()
+        ckpt = _stream_checkpoint()
+        try:
+            with _bounded_state_partitions(spark, 8):
+                q = (streaming_exact_dedup(stream).writeStream
+                     .outputMode("append").format("memory").queryName(name)
+                     .option("checkpointLocation", ckpt)
+                     .trigger(availableNow=True).start())
+                q.awaitTermination()
+        finally:
+            _shutil.rmtree(ckpt, ignore_errors=True)
         return spark.table(name).select("doc_id")
 
     def events_running_total(spark, sf_dir):
@@ -1162,6 +1190,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from logparse_rs_spark.operators.text import quantile_bucket_stats
         return quantile_bucket_stats(_docs(spark, sf_dir), q=10)
 
+    def doc_pagerank(spark, sf_dir):
+        # integer fixed-point PageRank (3 rounds) over the shared-rare-
+        # phrase graph: exact BIGINT ranks, each round one edge-vs-rank
+        # join + one dst-keyed sum. Top-20, ties pinned by node id.
+        from logparse_rs_spark.operators.graph import pagerank_integer
+        from logparse_rs_spark.operators.text import related_doc_pairs
+        pairs = related_doc_pairs(_docs(spark, sf_dir), min_shared=2,
+                                  min_df=2, max_df=8, min_len=1, ngram=3)
+        pr = pagerank_integer(pairs, iterations=3)
+        return (pr.select(F.col("node").alias("doc_id"),
+                          F.col("pr").alias("pagerank"))
+                .orderBy(F.desc("pagerank"), F.asc("doc_id")).limit(20))
+
+    def events_props_stats(spark, sf_dir):
+        # schema-on-read over the JSON props blob: JVM-side JSON-path
+        # extraction in codegen, per-type numeric profile.
+        from logparse_rs_spark.operators.behavior import props_field_stats
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return props_field_stats(ev, field="k")
+
+    def events_user_paths(spark, sf_dir):
+        # per-user ordered event-type path (training-sequence assembly):
+        # in-row array_sort over (ts, event_id, type) structs — total
+        # order, no window, one user-keyed shuffle.
+        from logparse_rs_spark.operators.behavior import user_event_paths
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return user_event_paths(ev)
+
+    def doc_rank_fusion(spark, sf_dir):
+        # reciprocal-rank fusion (1e9 DIV (60 + rank), exact integers) of
+        # the tf-idf ranking x a length prior, each a top-100 TakeOrdered
+        # pool — no global sort, pool-sized windows and join only.
+        from logparse_rs_spark.operators.text import rank_fusion_topk
+        return rank_fusion_topk(_docs(spark, sf_dir),
+                                terms=["vector", "window", "customer"],
+                                k=20, pool=100)
+
+    def events_sliding_active(spark, sf_dir):
+        # hopping-window activity (30 min windows sliding 15): each event
+        # lands in exactly two windows (replicated in-row, no join), then
+        # one window-keyed distinct-user aggregate; starts emitted as
+        # epoch micros.
+        from logparse_rs_spark.operators.behavior import (
+            sliding_window_activity)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return sliding_window_activity(ev)
+
     def events_scd2_versions(spark, sf_dir):
         # SCD2 validity intervals over each user's signup stream: version
         # number, [valid_from, valid_to) in epoch micros, is_current flag.
@@ -1257,6 +1332,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_topk": doc_tfidf_topk,
         "doc_decile_stats": doc_decile_stats,
         "events_scd2_versions": events_scd2_versions,
+        "doc_pagerank": doc_pagerank,
+        "events_props_stats": events_props_stats,
+        "events_user_paths": events_user_paths,
+        "doc_rank_fusion": doc_rank_fusion,
+        "events_sliding_active": events_sliding_active,
     }
 
 
@@ -2584,6 +2664,102 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket, COUNT(*)::BIGINT AS n_docs,
                MIN(v) AS min_v, MAX(v) AS max_v, SUM(v)::BIGINT AS total_v
         FROM asg GROUP BY bucket ORDER BY bucket
+    """
+    d["doc_pagerank"] = f"""
+        WITH w AS (SELECT doc_id, list_filter(
+                     string_split_regex(lower(text), '{WSP}'),
+                     x -> x <> '') AS w
+                   FROM documents),
+        g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS token
+              FROM w, unnest(range(1, len(w) - 1)) AS r(i)),
+        t AS (SELECT DISTINCT doc_id, token FROM g),
+        dl AS (SELECT token, list(doc_id) AS ids FROM t
+               GROUP BY token HAVING COUNT(*) BETWEEN 2 AND 8),
+        pp AS (SELECT ia AS id_a, ib AS id_b
+               FROM dl, unnest(dl.ids) AS ua(ia), unnest(dl.ids) AS ub(ib)
+               WHERE ia < ib),
+        pairs AS (SELECT id_a, id_b FROM pp
+                  GROUP BY id_a, id_b HAVING COUNT(*) >= 2),
+        e AS (SELECT id_a AS s, id_b AS t FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+        deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
+        pr0 AS (SELECT s AS node, 1000000000000::BIGINT AS pr FROM deg),
+        in1 AS (SELECT e.t AS node, SUM(pr0.pr // deg.outdeg) AS inflow
+                FROM e JOIN pr0 ON e.s = pr0.node JOIN deg ON e.s = deg.s
+                GROUP BY e.t),
+        pr1 AS (SELECT deg.s AS node,
+                       150000000000::BIGINT
+                       + (COALESCE(in1.inflow, 0) * 85) // 100 AS pr
+                FROM deg LEFT JOIN in1 ON deg.s = in1.node),
+        in2 AS (SELECT e.t AS node, SUM(pr1.pr // deg.outdeg) AS inflow
+                FROM e JOIN pr1 ON e.s = pr1.node JOIN deg ON e.s = deg.s
+                GROUP BY e.t),
+        pr2 AS (SELECT deg.s AS node,
+                       150000000000::BIGINT
+                       + (COALESCE(in2.inflow, 0) * 85) // 100 AS pr
+                FROM deg LEFT JOIN in2 ON deg.s = in2.node),
+        in3 AS (SELECT e.t AS node, SUM(pr2.pr // deg.outdeg) AS inflow
+                FROM e JOIN pr2 ON e.s = pr2.node JOIN deg ON e.s = deg.s
+                GROUP BY e.t),
+        pr3 AS (SELECT deg.s AS node,
+                       150000000000::BIGINT
+                       + (COALESCE(in3.inflow, 0) * 85) // 100 AS pr
+                FROM deg LEFT JOIN in3 ON deg.s = in3.node)
+        SELECT node AS doc_id, pr AS pagerank FROM pr3
+        ORDER BY pagerank DESC, doc_id ASC LIMIT 20
+    """
+    d["events_props_stats"] = """
+        SELECT event_type, COUNT(*)::BIGINT AS n,
+               COUNT(v)::BIGINT AS n_with_field,
+               SUM(v)::BIGINT AS sum_v, MIN(v) AS min_v, MAX(v) AS max_v,
+               COUNT(DISTINCT v)::BIGINT AS distinct_v
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+              FROM events)
+        GROUP BY event_type ORDER BY event_type
+    """
+    d["events_user_paths"] = """
+        SELECT user_id, COUNT(*)::BIGINT AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    """
+    d["doc_rank_fusion"] = f"""
+        WITH w AS (SELECT doc_id, unnest(list_filter(
+                     string_split_regex(lower(text), '{WSP}'),
+                     x -> x <> '')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+               WHERE term IN ('vector', 'window', 'customer')
+               GROUP BY doc_id, term),
+        dft AS (SELECT term, COUNT(DISTINCT doc_id) AS term_df
+                FROM tf GROUP BY term),
+        tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+        idf AS (SELECT term,
+                       (n_docs * 1000000000::BIGINT) // term_df AS idf_ppb
+                FROM dft, tot),
+        s1 AS (SELECT tf.doc_id, SUM(tf.tf * idf.idf_ppb) AS score_ppb
+               FROM tf JOIN idf USING (term) GROUP BY tf.doc_id
+               ORDER BY score_ppb DESC, doc_id ASC LIMIT 100),
+        r1 AS (SELECT doc_id, ROW_NUMBER() OVER
+                 (ORDER BY score_ppb DESC, doc_id ASC) AS rank FROM s1),
+        s2 AS (SELECT doc_id, len(text)::BIGINT AS l FROM documents
+               ORDER BY l DESC, doc_id ASC LIMIT 100),
+        r2 AS (SELECT doc_id, ROW_NUMBER() OVER
+                 (ORDER BY l DESC, doc_id ASC) AS rank FROM s2),
+        u AS (SELECT doc_id, 1000000000 // (60 + rank) AS c FROM r1
+              UNION ALL
+              SELECT doc_id, 1000000000 // (60 + rank) AS c FROM r2)
+        SELECT doc_id, SUM(c)::BIGINT AS fused_ppb FROM u
+        GROUP BY doc_id ORDER BY fused_ppb DESC, doc_id ASC LIMIT 20
+    """
+    d["events_sliding_active"] = """
+        SELECT s AS window_start_us,
+               COUNT(DISTINCT user_id)::BIGINT AS active_users,
+               COUNT(*)::BIGINT AS n_events
+        FROM (SELECT user_id,
+                     (epoch_us(ts) // 900000000 - i) * 900000000 AS s
+              FROM events, unnest(range(0, 2)) AS r(i))
+        GROUP BY s ORDER BY s
     """
     d["events_scd2_versions"] = """
         SELECT user_id, event_id,

@@ -175,3 +175,89 @@ def versioned_intervals(events: DataFrame, key_cols: list[str] | None = None,
         ts_us.alias("valid_from_us"),
         F.lead(ts_us).over(w).alias("valid_to_us"),
         F.lead(ts_us).over(w).isNull().alias("is_current"))
+
+
+def props_field_stats(events: DataFrame, field: str = "k",
+                      type_col: str = "event_type",
+                      props_col: str = "props") -> DataFrame:
+    """Semi-structured payload extraction + profile: pull one numeric
+    field out of the JSON ``props`` column and aggregate it per event
+    type — the schema-on-read pass every log pipeline runs over its
+    attribute blob (get_json_object is JVM-side JSON-path evaluation
+    inside whole-stage codegen; no UDF, no shuffle of the raw JSON).
+
+    Scale shape: the JSON parse happens scan-side; only (type, value)
+    pairs reach the |types|-keyed aggregate, which folds map-side.
+
+    Returns (event_type, n, n_with_field, sum_v, min_v, max_v,
+    distinct_v) ordered by type.
+    """
+    v = F.get_json_object(F.col(props_col), f"$.{field}").cast("long")
+    return (events.select(F.col(type_col), v.alias("v"))
+            .groupBy(type_col)
+            .agg(F.count("*").alias("n"),
+                 F.count("v").alias("n_with_field"),
+                 F.sum("v").alias("sum_v"),
+                 F.min("v").alias("min_v"),
+                 F.max("v").alias("max_v"),
+                 F.countDistinct("v").alias("distinct_v"))
+            .orderBy(type_col))
+
+
+def user_event_paths(events: DataFrame, user_col: str = "user_id",
+                     type_col: str = "event_type", ts_col: str = "ts",
+                     tiebreak_col: str = "event_id") -> DataFrame:
+    """Training-sequence assembly: each user's full event-type history as
+    one ordered path string — the per-entity timeline export a behavioral
+    training pipeline materializes (one row per user, ready for
+    tokenization), and the input shape for sequence-model pretraining
+    over event streams.
+
+    Determinism: events are packed as (ts, tiebreak, type) structs,
+    sorted IN THE ROW with array_sort (struct comparison is field-major,
+    and tiebreak is unique, so the order is total), then projected to the
+    type path — no window, and the collect_list non-determinism never
+    reaches the output surface.
+
+    Scale shape: ONE user-keyed shuffle (the collect_list aggregate,
+    map-side partially combined); per-user state is that user's own
+    events. A production run bounds the per-entity history (cap rows per
+    user upstream) the same way any per-entity training-data export does.
+
+    Returns (user_id, n_events BIGINT, path STRING).
+    """
+    packed = F.struct(F.col(ts_col), F.col(tiebreak_col),
+                      F.col(type_col).alias("etype"))
+    return (events.groupBy(user_col)
+            .agg(F.count("*").alias("n_events"),
+                 F.array_sort(F.collect_list(packed)).alias("seq"))
+            .select(user_col, "n_events",
+                    F.array_join(
+                        F.transform("seq", lambda x: x["etype"]),
+                        ">").alias("path")))
+
+
+def sliding_window_activity(events: DataFrame, window: str = "30 minutes",
+                            slide: str = "15 minutes",
+                            user_col: str = "user_id",
+                            ts_col: str = "ts") -> DataFrame:
+    """SLIDING (hopping) window activity: distinct active users + event
+    volume per overlapping window — the dashboard/alerting aggregate
+    (tumbling windows under-read spikes that straddle a boundary; ops
+    dashboards hop). Window start is emitted as epoch MICROSECONDS
+    (BIGINT) against an NTZ epoch literal — engine/timezone-proof.
+
+    Scale shape: ``F.window(ts, window, slide)`` replicates each row into
+    window/slide assignments IN THE ROW (here 2x — bounded, no join), then
+    one window-keyed aggregate; countDistinct rewrites to a two-level agg
+    with map-side partials on (window, user).
+    """
+    w = F.window(F.col(ts_col), window, slide)
+    return (events.groupBy(w.alias("w"))
+            .agg(F.countDistinct(user_col).alias("active_users"),
+                 F.count("*").alias("n_events"))
+            .select(F.expr("timestampdiff(MICROSECOND, "
+                           "TIMESTAMP_NTZ '1970-01-01 00:00:00', w.start)")
+                    .alias("window_start_us"),
+                    "active_users", "n_events")
+            .orderBy("window_start_us"))

@@ -201,3 +201,61 @@ def dup_clusters(pairs: Optional[DataFrame] = None, src: str = "id_a",
         F.count("*").alias("cluster_size"))
     return components.join(sizes, on="component").select(
         "id", "component", "cluster_size")
+
+
+def pagerank_integer(pairs: DataFrame, iterations: int = 3,
+                     scale: int = 10**12, src: str = "id_a",
+                     dst: str = "id_b") -> DataFrame:
+    """PageRank over an UNDIRECTED pair graph in EXACT INTEGER arithmetic —
+    the link-authority ranking pass (here: which documents sit centrally
+    in the shared-rare-phrase graph; on a web corpus, the host/page link
+    graph), expressed so any two engines produce bit-identical scores.
+
+    Determinism: ranks live in fixed-point units of ``scale`` (1e12 =
+    1.0). Each round computes ``pr' = (15 * scale) DIV 100 +
+    (85 * inflow) DIV 100`` with ``inflow = SUM(pr DIV degree)`` over
+    in-neighbors — integer division and integer sums are associative/
+    commutative, so no float summation order can differ. (Float PageRank
+    diverges in the last ulps across engines; exact equality is what the
+    oracle gate needs, and rank ORDER is identical for any plausible
+    epsilon.)
+
+    Scale shape: each round is one join of the edge list against the
+    node-rank frame + one groupBy-sum on the destination key — the same
+    narrow (long, long) shuffle class as a label-propagation round.
+    Undirected degree >= 1 for every node by construction, so there are
+    no dangling-mass corrections. Driver holds only the loop counter;
+    lineage is truncated per round via the module's checkpoint policy.
+
+    Returns (node BIGINT, pr BIGINT): every node with its rank after
+    ``iterations`` rounds.
+    """
+    # materialize the edge list ONCE: without truncation every round's
+    # joins re-derive the pair-generation lineage (posting lists, LSH,
+    # whatever produced the pairs) from the raw scan — measured 28 s vs
+    # ~1 s at sf0.1 on the rare-phrase graph. deg rides on the truncated
+    # edges, and its own reuse across rounds is an in-plan exchange reuse.
+    edges = _truncate(
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .union(pairs.select(F.col(dst).alias("s"),
+                            F.col(src).alias("t"))),
+        eager=True)
+    deg = edges.groupBy("s").agg(F.count("*").alias("outdeg"))
+    base = (15 * scale) // 100
+    pr = deg.select(F.col("s").alias("node"),
+                    F.lit(scale).cast("long").alias("pr"))
+    for _ in range(iterations):
+        inflow = (edges
+                  .join(pr.withColumnRenamed("node", "s"), "s")
+                  .join(deg, "s")
+                  .groupBy(F.col("t").alias("node"))
+                  .agg(F.sum(F.expr("pr DIV outdeg")).alias("inflow")))
+        pr = _truncate(
+            deg.select(F.col("s").alias("node"))
+            .join(inflow, "node", "left")
+            .select("node",
+                    (F.lit(base).cast("long")
+                     + F.expr("CAST(coalesce(inflow, 0) * 85 DIV 100 "
+                              "AS BIGINT)")).alias("pr")),
+            eager=False)
+    return pr

@@ -923,3 +923,40 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     else:
         fp = F.xxhash64(norm)
     return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def rank_fusion_topk(docs: DataFrame, terms: list, k: int = 20,
+                     pool: int = 100, rrf_k: int = 60,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings — the standard way
+    to merge heterogeneous scorers (here: tf-idf relevance for a term
+    query x a length prior; in production: BM25 x embedding-ANN) without
+    calibrating their score scales against each other.
+
+    Exact integers throughout: contribution = 1e9 DIV (rrf_k + rank), so
+    fused scores are bit-identical on any engine. Fusion operates on the
+    top-``pool`` candidates of EACH ranking (rank lists, not full-corpus
+    ranks) — that is both the standard IR formulation and the scale shape:
+    each ranking is a TakeOrdered top-pool (no global sort), the
+    row_number windows run on pool-sized frames, and the fuse is a
+    pool-sized full outer join.
+
+    Returns (doc_id, fused_ppb BIGINT), k rows, ties pinned by doc_id.
+    """
+    r1 = (tfidf_topk(docs, terms, k=pool, text_col=text_col,
+                     id_col=id_col)
+          .withColumn("rank", F.row_number().over(
+              Window.orderBy(F.desc("score_ppb"), F.asc(id_col))))
+          .select(id_col, "rank"))
+    r2 = (docs.select(id_col, F.length(text_col).cast("long").alias("len"))
+          .orderBy(F.desc("len"), F.asc(id_col)).limit(pool)
+          .withColumn("rank", F.row_number().over(
+              Window.orderBy(F.desc("len"), F.asc(id_col))))
+          .select(id_col, "rank"))
+    contrib = F.expr(f"CAST(1000000000 DIV ({rrf_k} + rank) AS BIGINT)")
+    fused = (r1.select(id_col, contrib.alias("c"))
+             .unionAll(r2.select(id_col, contrib.alias("c")))
+             .groupBy(id_col)
+             .agg(F.sum("c").alias("fused_ppb")))
+    return (fused.orderBy(F.desc("fused_ppb"), F.asc(id_col)).limit(k))

@@ -178,3 +178,55 @@ class TestVersionedIntervals:
         # version/lead/is_current share one Window + one Exchange
         assert plan.count("Window") == 1, plan
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+class TestPropsFieldStats:
+    def test_profile_and_missing_field(self, spark):
+        from logparse_rs_spark.operators.behavior import props_field_stats
+        df = spark.createDataFrame([
+            (1, "a", '{"k": 5}'), (2, "a", '{"k": 7}'),
+            (3, "a", '{"other": 1}'), (4, "b", '{"k": 5}'),
+        ], "event_id long, event_type string, props string")
+        got = {r["event_type"]: r for r in props_field_stats(df).collect()}
+        a = got["a"]
+        assert (a["n"], a["n_with_field"], a["sum_v"], a["min_v"],
+                a["max_v"], a["distinct_v"]) == (3, 2, 12, 5, 7, 2)
+        assert got["b"]["n_with_field"] == 1
+
+
+class TestUserEventPaths:
+    def test_path_order_and_tiebreak(self, spark):
+        from logparse_rs_spark.operators.behavior import user_event_paths
+        # same-ts events ordered by event_id; users isolated
+        ev = _ev(spark, [
+            (1, "view", _t(0), 2), (1, "click", _t(0), 1),
+            (1, "purchase", _t(5), 3), (2, "signup", _t(1), 4),
+        ])
+        got = {r["user_id"]: (r["n_events"], r["path"])
+               for r in user_event_paths(ev).collect()}
+        assert got == {1: (3, "click>view>purchase"), 2: (1, "signup")}
+
+
+class TestSlidingWindowActivity:
+    def test_each_event_in_two_windows(self, spark):
+        from logparse_rs_spark.operators.behavior import (
+            sliding_window_activity)
+        # one event at :20 past the hour -> windows starting at :00
+        # and :15 (30-min window, 15-min slide)
+        ev = _ev(spark, [(1, "click", _t(20), 1)])
+        rows = sliding_window_activity(ev).collect()
+        assert len(rows) == 2
+        starts = sorted(r["window_start_us"] for r in rows)
+        assert starts[1] - starts[0] == 15 * 60 * 1_000_000
+        assert all(r["active_users"] == 1 and r["n_events"] == 1
+                   for r in rows)
+
+    def test_distinct_users_per_window(self, spark):
+        from logparse_rs_spark.operators.behavior import (
+            sliding_window_activity)
+        # two users, one emits twice inside the same windows
+        ev = _ev(spark, [(1, "a", _t(2), 1), (1, "a", _t(3), 2),
+                         (2, "b", _t(4), 3)])
+        rows = sliding_window_activity(ev).collect()
+        for r in rows:
+            assert r["active_users"] == 2 and r["n_events"] == 3

@@ -1282,3 +1282,78 @@ class TestQuantileBucketStats:
                                    "doc_id long, n_chars long")
         rows = quantile_bucket_stats(df, q=10).collect()
         assert sum(r["n_docs"] for r in rows) == 200
+
+
+class TestPagerankInteger:
+    def _py_pagerank(self, pairs, iters=3, scale=10**12):
+        from collections import defaultdict
+        adj = defaultdict(list)
+        for a, b in pairs:
+            adj[a].append(b)
+            adj[b].append(a)
+        pr = {n: scale for n in adj}
+        base = (15 * scale) // 100
+        for _ in range(iters):
+            inflow = defaultdict(int)
+            for s, outs in adj.items():
+                share = pr[s] // len(outs)
+                for t in outs:
+                    inflow[t] += share
+            pr = {n: base + (inflow[n] * 85) // 100 for n in adj}
+        return pr
+
+    def test_matches_python_replica(self, spark):
+        from logparse_rs_spark.operators.graph import pagerank_integer
+        pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {r["node"]: r["pr"]
+               for r in pagerank_integer(df, iterations=3).collect()}
+        assert got == self._py_pagerank(pairs)
+
+    def test_hub_outranks_leaf(self, spark):
+        from logparse_rs_spark.operators.graph import pagerank_integer
+        # star: node 0 touches 1..5 -> 0 must rank strictly highest
+        pairs = [(0, i) for i in range(1, 6)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {r["node"]: r["pr"]
+               for r in pagerank_integer(df, iterations=3).collect()}
+        assert got[0] == max(got.values())
+        assert all(got[0] > got[i] for i in range(1, 6))
+
+    def test_partitioning_invariance_exact(self, spark):
+        from logparse_rs_spark.operators.graph import pagerank_integer
+        pairs = [(i, (i * 7 + 1) % 50) for i in range(50)
+                 if i != (i * 7 + 1) % 50]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        a = sorted(map(tuple, pagerank_integer(df, 3).collect()))
+        b = sorted(map(tuple,
+                       pagerank_integer(df.repartition(17), 3).collect()))
+        assert a == b
+
+
+class TestRankFusion:
+    def test_exact_rrf_arithmetic(self, spark):
+        from logparse_rs_spark.operators.text import rank_fusion_topk
+        # doc 1: only tfidf hit (rank 1); doc 2: longest (rank 1 in len);
+        # doc 3: second-longest. RRF contributions are 1e9 // (60+rank).
+        df = spark.createDataFrame([
+            (1, "query"), (2, "x" * 50), (3, "y" * 40),
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: r["fused_ppb"]
+               for r in rank_fusion_topk(df, terms=["query"], k=10,
+                                         pool=2).collect()}
+        c = lambda r: 1000000000 // (60 + r)
+        # len ranking pool=2 keeps docs 2,3; tfidf pool keeps doc 1 only
+        assert got == {1: c(1), 2: c(1), 3: c(2)}
+
+    def test_doc_in_both_rankings_sums(self, spark):
+        from logparse_rs_spark.operators.text import rank_fusion_topk
+        # one doc matches the query AND is longest -> contributions add
+        df = spark.createDataFrame([
+            (5, "query " + "z" * 60), (6, "w" * 30),
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: r["fused_ppb"]
+               for r in rank_fusion_topk(df, terms=["query"], k=10,
+                                         pool=5).collect()}
+        c = lambda r: 1000000000 // (60 + r)
+        assert got[5] == c(1) + c(1) and got[6] == c(2)
