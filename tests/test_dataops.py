@@ -1357,3 +1357,57 @@ class TestRankFusion:
                                          pool=5).collect()}
         c = lambda r: 1000000000 // (60 + r)
         assert got[5] == c(1) + c(1) and got[6] == c(2)
+
+
+class TestNewOpPlanShapes:
+    """Plan pins: the scale-critical shape claims in the docstrings must
+    be visible in the executed plan, not just asserted in prose."""
+
+    def test_bpe_two_exchanges_only(self, spark):
+        from logparse_rs_spark.operators.text import bpe_pair_counts
+        df = spark.createDataFrame([(1, "ab ba ab")],
+                                   "doc_id long, text string")
+        plan = (bpe_pair_counts(df, k=5)
+                ._jdf.queryExecution().executedPlan().toString())
+        # corpus -> word-count agg (1 exchange) -> pair agg (1 exchange)
+        # -> TakeOrdered; pair extraction must NOT re-touch the corpus
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+        assert "Join" not in plan, plan
+
+    def test_related_pairs_no_join_no_cartesian(self, spark):
+        from logparse_rs_spark.operators.text import related_doc_pairs
+        df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")],
+                                   "doc_id long, text string")
+        plan = (related_doc_pairs(df, min_shared=1, min_df=2, max_df=8,
+                                  ngram=3)
+                ._jdf.queryExecution().executedPlan().toString())
+        # pair fan-out is a bounded double-explode of posting arrays —
+        # never a self-join of the (token, doc) frame
+        assert "CartesianProduct" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert plan.count("Generate explode") >= 2, plan
+
+    def test_tfidf_broadcasts_idf(self, spark):
+        from logparse_rs_spark.operators.text import tfidf_topk
+        df = spark.createDataFrame([(1, "x y"), (2, "x")],
+                                   "doc_id long, text string")
+        plan = (tfidf_topk(df, terms=["x", "y"], k=5)
+                ._jdf.queryExecution().executedPlan().toString())
+        # df/N ride back onto the hit frame via broadcast — the hit frame
+        # must never sort-merge against the (tiny) idf side
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_sliding_window_no_join(self, spark):
+        from logparse_rs_spark.operators.behavior import (
+            sliding_window_activity)
+        ev = spark.createDataFrame(
+            [(1, 1, "2024-01-01 00:05:00")],
+            "event_id long, user_id long, ts_s string").selectExpr(
+                "event_id", "user_id",
+                "CAST(ts_s AS TIMESTAMP_NTZ) AS ts")
+        plan = (sliding_window_activity(ev)
+                ._jdf.queryExecution().executedPlan().toString())
+        # window replication happens in the row (explode/expand), not via
+        # a join against a window table
+        assert "Join" not in plan, plan
