@@ -1237,6 +1237,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         return sliding_window_activity(ev)
 
+    def log_link_hosts(spark, sf_dir):
+        # web-graph extraction over the RAW html byte column: JVM-side
+        # regexp_extract_all in codegen emits (src_host, dst_host) pairs
+        # scan-side — the html bytes never shuffle; the aggregate key
+        # space is |hosts|^2-bounded. Top-50 edges, order fully pinned.
+        from logparse_rs_spark.operators.links import host_edges
+        pages_path, _ = _fixture_paths(sf_dir)
+        pages = spark.read.parquet(pages_path).select("url", "html")
+        return (host_edges(pages)
+                .orderBy(F.desc("n_links"), F.asc("src_host"),
+                         F.asc("dst_host"))
+                .limit(50))
+
+    def log_host_pagerank(spark, sf_dir):
+        # authority ranking over the REAL extracted link graph: distinct
+        # undirected host edges (self-loops dropped) -> 3 rounds of exact
+        # integer PageRank. Composes the links family with graph.py.
+        from logparse_rs_spark.operators.graph import pagerank_integer
+        from logparse_rs_spark.operators.links import host_edges
+        pages_path, _ = _fixture_paths(sf_dir)
+        pages = spark.read.parquet(pages_path).select("url", "html")
+        und = (host_edges(pages)
+               .filter(F.col("src_host") != F.col("dst_host"))
+               .select(F.least("src_host", "dst_host").alias("id_a"),
+                       F.greatest("src_host", "dst_host").alias("id_b"))
+               .distinct())
+        pr = pagerank_integer(und, iterations=3)
+        return (pr.select(F.col("node").alias("host"),
+                          F.col("pr").alias("pagerank"))
+                .orderBy(F.desc("pagerank"), F.asc("host")).limit(20))
+
     def events_scd2_versions(spark, sf_dir):
         # SCD2 validity intervals over each user's signup stream: version
         # number, [valid_from, valid_to) in epoch micros, is_current flag.
@@ -1337,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_paths": events_user_paths,
         "doc_rank_fusion": doc_rank_fusion,
         "events_sliding_active": events_sliding_active,
+        "log_link_hosts": log_link_hosts,
+        "log_host_pagerank": log_host_pagerank,
     }
 
 
@@ -2760,6 +2793,65 @@ def oracle_sql() -> dict[str, str]:
                      (epoch_us(ts) // 900000000 - i) * 900000000 AS s
               FROM events, unnest(range(0, 2)) AS r(i))
         GROUP BY s ORDER BY s
+    """
+    d["log_link_hosts"] = f"""
+        WITH raw AS (SELECT url,
+                unnest(regexp_extract_all(decode(html),
+                       'href="([^"]+)"', 1)) AS href
+              FROM read_parquet('{pages_path}')),
+        e AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1)
+                       AS src_host,
+                     regexp_extract(href, '^https?://([^/]+)', 1)
+                       AS dst_host
+              FROM raw)
+        SELECT src_host, dst_host, COUNT(*)::BIGINT AS n_links
+        FROM e WHERE src_host <> '' AND dst_host <> ''
+        GROUP BY src_host, dst_host
+        ORDER BY n_links DESC, src_host ASC, dst_host ASC LIMIT 50
+    """
+    d["log_host_pagerank"] = f"""
+        WITH raw AS (SELECT url,
+                unnest(regexp_extract_all(decode(html),
+                       'href="([^"]+)"', 1)) AS href
+              FROM read_parquet('{pages_path}')),
+        e0 AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1)
+                        AS src_host,
+                      regexp_extract(href, '^https?://([^/]+)', 1)
+                        AS dst_host
+               FROM raw),
+        und AS (SELECT LEAST(src_host, dst_host) AS id_a,
+                       GREATEST(src_host, dst_host) AS id_b
+                FROM e0
+                WHERE src_host <> '' AND dst_host <> ''
+                  AND src_host <> dst_host
+                GROUP BY 1, 2),
+        e AS (SELECT id_a AS s, id_b AS t FROM und
+              UNION ALL SELECT id_b, id_a FROM und),
+        deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s),
+        pr0 AS (SELECT s AS node, 1000000000000::BIGINT AS pr FROM deg),
+        in1 AS (SELECT e.t AS node, SUM(pr0.pr // deg.outdeg) AS inflow
+                FROM e JOIN pr0 ON e.s = pr0.node JOIN deg ON e.s = deg.s
+                GROUP BY e.t),
+        pr1 AS (SELECT deg.s AS node,
+                       150000000000::BIGINT
+                       + (COALESCE(in1.inflow, 0) * 85) // 100 AS pr
+                FROM deg LEFT JOIN in1 ON deg.s = in1.node),
+        in2 AS (SELECT e.t AS node, SUM(pr1.pr // deg.outdeg) AS inflow
+                FROM e JOIN pr1 ON e.s = pr1.node JOIN deg ON e.s = deg.s
+                GROUP BY e.t),
+        pr2 AS (SELECT deg.s AS node,
+                       150000000000::BIGINT
+                       + (COALESCE(in2.inflow, 0) * 85) // 100 AS pr
+                FROM deg LEFT JOIN in2 ON deg.s = in2.node),
+        in3 AS (SELECT e.t AS node, SUM(pr2.pr // deg.outdeg) AS inflow
+                FROM e JOIN pr2 ON e.s = pr2.node JOIN deg ON e.s = deg.s
+                GROUP BY e.t),
+        pr3 AS (SELECT deg.s AS node,
+                       150000000000::BIGINT
+                       + (COALESCE(in3.inflow, 0) * 85) // 100 AS pr
+                FROM deg LEFT JOIN in3 ON deg.s = in3.node)
+        SELECT node AS host, pr AS pagerank FROM pr3
+        ORDER BY pagerank DESC, host ASC LIMIT 20
     """
     d["events_scd2_versions"] = """
         SELECT user_id, event_id,

@@ -92,7 +92,10 @@ def _sf_tag(sf_dir: str) -> str:
 
 def ensure_bench_pages(n_pages: int, cores: int) -> str:
     """Materialize the bench-scale pages table once (Spark-parallel gen)."""
-    path = os.path.join(ROOT, ".fixtures", f"bench_pages_n{n_pages}.parquet")
+    from logparse_rs_spark.fixtures import FIXTURE_VERSION
+    path = os.path.join(
+        ROOT, ".fixtures",
+        f"bench_pages_v{FIXTURE_VERSION}_n{n_pages}.parquet")
     if os.path.isdir(path) and any(
             f.endswith(".parquet") for f in os.listdir(path)):
         return path

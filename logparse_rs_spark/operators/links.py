@@ -1,0 +1,51 @@
+"""Link extraction + host-graph construction over the raw ``html`` byte
+column of the pages table — the web-graph pass of a Common-Crawl-style
+pipeline (anchor extraction feeds the crawl frontier; the host graph feeds
+authority ranking and spam-domain discovery).
+
+Spark-first shape: the anchor regex runs JVM-side (``regexp_extract_all``
+inside whole-stage codegen) directly on the decoded binary column, so the
+10^12-page scan emits only (src_host, dst_host) pairs — the html bytes
+never shuffle. Host parsing uses one anchored regex shared verbatim with
+the DuckDB oracles (``parse_url`` would be Spark-only semantics).
+
+Reference scope note: the reference (rmarnold/logparse_rs) stops at line
+parsing; link/web-graph work is Spark-native ground added for the
+Common-Crawl target, same as the dedup/similarity families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# shared verbatim between engines (RE2- and Java-compatible: no
+# lookarounds, no \b)
+HREF_PATTERN = r'href="([^"]+)"'
+HOST_PATTERN = r"^https?://([^/]+)"
+
+
+def extract_links(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """(src_url, href) pairs from every anchor in the html bytes.
+    One scan-side projection + explode; no shuffle, no Python."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(HREF_PATTERN), 1)
+    return (pages.select(F.col(url_col).alias("src_url"),
+                         F.explode(hrefs).alias("href")))
+
+
+def host_edges(pages: DataFrame, url_col: str = "url",
+               html_col: str = "html") -> DataFrame:
+    """Host-level link graph: (src_host, dst_host, n_links), hrefs that
+    carry no parseable host dropped. The aggregate key space is
+    |hosts|^2-bounded (and far sparser), so map-side partials collapse
+    the per-page link stream before the one small shuffle."""
+    links = extract_links(pages, url_col=url_col, html_col=html_col)
+    src_host = F.regexp_extract(F.col("src_url"), HOST_PATTERN, 1)
+    dst_host = F.regexp_extract(F.col("href"), HOST_PATTERN, 1)
+    return (links.select(src_host.alias("src_host"),
+                         dst_host.alias("dst_host"))
+            .filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count("*").alias("n_links")))
