@@ -1,23 +1,44 @@
 #!/usr/bin/env python3
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints a parseable summary JSON line after EACH phase.
 
-Phases:
-1. headline: full pipeline (parse -> enrich -> anonymize -> route -> aggregate)
-   over the deterministic bench pages table at local[CPUS]; metric = docs/sec
-   end-to-end wall (BASELINE.json primary metric).
-2. queries: every __spark_entry__.queries() entry timed at $SPARK_GRAFT_SF_DIR.
-3. scaling (OFFICIAL record): the identical pipeline + input under
-   local-cluster[N,1,mem] and local-cluster[4N,1,mem] — SEPARATE executor
-   JVMs (own heap, own shuffle server, own Python workers), the closest
-   single-host analog of the north rule's "N executors vs 4N executors".
+Every printed line is a COMPLETE summary superseding the previous one, so a
+consumer that times out mid-run and keeps only the tail of stdout still gets
+a parseable record of every phase that finished (BENCH_r04 timed out with
+``parsed: null`` because the old harness printed its only summary line after
+everything — r4 verdict item 1).
+
+Phases (each followed by a summary emission):
+1. headline + scaling (OFFICIAL record), interleaved so both sample the same
+   host weather: the full pipeline (parse -> enrich -> anonymize -> route ->
+   aggregate) over the deterministic bench pages table at local[CPUS]
+   (metric = docs/sec end-to-end wall, BASELINE.json primary metric), and the
+   identical pipeline + input under local-cluster[N,1,mem] vs
+   local-cluster[4N,1,mem] — SEPARATE executor JVMs (own heap, own shuffle
+   server, own Python workers), the closest single-host analog of the north
+   rule's "N executors vs 4N executors".
    efficiency = T_N / (4 * T_4N), min-of-interleaved-runs per level, with
    every same-weather pair ratio recorded in `scaling_samples`.
-4. scaling (supplementary): the same pair as single-JVM task threads
-   (local[N] vs local[4N]) — the r1-r3 methodology, kept for continuity.
+2. adaptive extra scaling pairs (budget permitting) while the min-of-N
+   efficiency still looks weather-poisoned.
+3. queries: every __spark_entry__.queries() entry timed at
+   $SPARK_GRAFT_SF_DIR (warm+timed while budget allows, cold-timed after).
+4. scaling (supplementary, OPT-IN via BENCH_THREAD_REPEATS>0): the same pair
+   as single-JVM task threads (local[N] vs local[4N]) — r1-r3 methodology.
+
+Budget: the DEFAULT invocation fits a ~15 min consumer budget
+(BENCH_BUDGET_S, default 900): base repeats default to 1, extra scaling
+pairs are dropped first, then the per-query warm pass. The builder's own
+3-repeat interleaved record protocol is opt-in: BENCH_REPEATS=3
+BENCH_THREAD_REPEATS=2 BENCH_BUDGET_S=3600.
+
+Weather: `weather_probe_s` records a fixed single-thread CPU-work probe
+(sha256 over 256 MiB) at start and end — on this host the same probe swings
+>3x between quiet and stormy windows (BENCH/NOTES.md §6), so a poisoned
+record is machine-detectable next to a same-day quiet-window probe.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores),
-     BENCH_PAGES / BENCH_SCALING=0 to override sizing.
+     BENCH_PAGES / BENCH_SCALING=0 / BENCH_BUDGET_S to override sizing.
 """
 
 from __future__ import annotations
@@ -47,9 +68,16 @@ BENCH_PAGES_BY_SF = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 200_000}
 # the headline throughput run stays at 8 cores. All overridable via env.
 HEADLINE_CORES = int(os.environ.get("BENCH_HEADLINE_CORES", "8"))
 SCALING_N = int(os.environ.get("BENCH_SCALING_N", "1"))
-BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
-# supplementary single-JVM thread-mode pair (r1-r3 methodology continuity)
-BENCH_THREAD_REPEATS = int(os.environ.get("BENCH_THREAD_REPEATS", "2"))
+# default 1: the default invocation must fit the driver's budget (r4 verdict
+# item 1b); the builder's own record protocol sets BENCH_REPEATS=3
+BENCH_REPEATS = int(os.environ.get("BENCH_REPEATS", "1"))
+# supplementary single-JVM thread-mode pair (r1-r3 methodology continuity);
+# OPT-IN (default 0) — it doubles the scaling phase for a non-official number
+BENCH_THREAD_REPEATS = int(os.environ.get("BENCH_THREAD_REPEATS", "0"))
+# soft wall-clock budget for the WHOLE invocation: extra scaling pairs are
+# dropped first, then the per-query warm pass. Phases already started are
+# never aborted mid-run — the budget gates what gets STARTED.
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
 # executor-JVM mode for the official scaling legs: {execs} executors x
 # {exec_cores} cores each as separate JVM processes on this host
 EXEC_MASTER_TPL = os.environ.get(
@@ -92,9 +120,10 @@ def _sf_tag(sf_dir: str) -> str:
 
 def ensure_bench_pages(n_pages: int, cores: int) -> str:
     """Materialize the bench-scale pages table once (Spark-parallel gen)."""
+    import __spark_entry__ as entrymod
     from logparse_rs_spark.fixtures import FIXTURE_VERSION
     path = os.path.join(
-        ROOT, ".fixtures",
+        entrymod.FIXTURE_ROOT,
         f"bench_pages_v{FIXTURE_VERSION}_n{n_pages}.parquet")
     if os.path.isdir(path) and any(
             f.endswith(".parquet") for f in os.listdir(path)):
@@ -191,24 +220,50 @@ def pipeline_worker(cores: int, pages_path: str, warmup_pages: int) -> None:
             shutil.rmtree(local_dir, ignore_errors=True)
 
 
-def time_queries(sf_dir: str, cores: int) -> dict:
+def weather_probe() -> float:
+    """Fixed single-thread CPU work (sha256 over 256 MiB in 4 MiB blocks):
+    wall seconds. The work is constant, so the reading is a pure host-weather
+    index — quiet windows on this box read ~0.3-0.6 s, stormy windows >3x
+    that (BENCH/NOTES.md §6). Recorded at start and end of every invocation
+    so a poisoned record is machine-detectable (r4 verdict item 6)."""
+    import hashlib
+    block = b"\xa5" * (4 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(64):
+        h.update(block)
+    h.hexdigest()
+    return round(time.perf_counter() - t0, 3)
+
+
+def time_queries(sf_dir: str, cores: int, budget_left_s=None) -> tuple:
+    """Time every queries() entry -> (timings, cold_timed_names). Warm+timed
+    run per query while the budget allows; once the remaining budget drops
+    under a safety margin the warm pass is dropped (cold timing; the names
+    are listed in the summary's "queries_cold_timed" so a reader knows which
+    numbers include fixture/codegen warmup)."""
     import __spark_entry__ as entrymod
     from logparse_rs_spark.session import get_spark
 
     spark = get_spark("bench-queries", cores=cores,
                       shuffle_partitions=max(2 * cores, 8))
     qs = entrymod.queries()
-    timings = {}
+    timings: dict = {}
+    cold_timed = []
     for name, fn in qs.items():
+        warm = budget_left_s is None or budget_left_s() > 90
         try:
-            fn(spark, sf_dir).collect()  # warm (also materializes fixtures)
+            if warm:
+                fn(spark, sf_dir).collect()  # warm (materializes fixtures)
+            else:
+                cold_timed.append(name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # pragma: no cover
             timings[name] = f"error: {e.__class__.__name__}"
     spark.stop()
-    return timings
+    return timings, cold_timed
 
 
 def main() -> None:
@@ -238,6 +293,13 @@ def main() -> None:
                 alive = True
             if not alive:
                 shutil.rmtree(stale, ignore_errors=True)
+
+    t_start = time.monotonic()
+
+    def budget_left() -> float:
+        return BENCH_BUDGET_S - (time.monotonic() - t_start)
+
+    probe_start = weather_probe()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -289,28 +351,12 @@ def main() -> None:
                 "p99_s": round(pct(0.99), 3),
                 "min_s": walls[0], "max_s": walls[-1]}
 
-    headline_cores = min(HEADLINE_CORES, cores)
     levels = ["head"]
     do_scaling = (os.environ.get("BENCH_SCALING", "1") != "0"
                   and cores >= 4 * SCALING_N * EXEC_CORES)
     if do_scaling:
         levels = ["head", "exec_n", "exec_4n"]
     best = run_interleaved(levels, BENCH_REPEATS)
-    if do_scaling:
-        # adaptive: a weather-stalled run at either level poisons the
-        # efficiency ratio; spend extra interleaved pairs while the
-        # min-of-N ratio still looks implausibly bad
-        for _ in range(BENCH_EXTRA_PAIRS):
-            eff_now = (best["exec_n"]["wall_s"]
-                       / (4.0 * best["exec_4n"]["wall_s"]))
-            if eff_now >= 0.80:
-                break
-            best = run_interleaved(["exec_n", "exec_4n"], 1)
-        # supplementary thread-mode pair (r1-r3 methodology continuity)
-        if BENCH_THREAD_REPEATS > 0:
-            best = run_interleaved(["thr_n", "thr_4n"],
-                                   BENCH_THREAD_REPEATS)
-    high = best["head"]
 
     def pair_effs_of(lo_key, hi_key):
         """Efficiency per INTERLEAVED PAIR (the two runs of a pair execute
@@ -333,10 +379,9 @@ def main() -> None:
         return round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2,
                      3)
 
-    scaling = None
-    detail: dict = {"runs": {k: [r["wall_s"] for r in rs]
-                             for k, rs in all_runs.items()}}
-    if do_scaling:
+    def build_scaling():
+        if not do_scaling:
+            return None
         low = best["exec_n"]
         high4n = best["exec_4n"]
         eff = low["wall_s"] / (4.0 * high4n["wall_s"])
@@ -382,49 +427,95 @@ def main() -> None:
                     / (4.0 * best["thr_4n"]["wall_s"]), 3),
                 "scaling_samples": thread_effs,
             }
-        detail["scaling"] = dict(scaling)
-        detail["scaling"].update({
-            "timings_n": low.get("timings"),
-            "timings_4n": high4n.get("timings"),
-            "stats_n": wall_stats(all_runs["exec_n"]),
-            "stats_4n": wall_stats(all_runs["exec_4n"]),
-        })
+        return scaling
 
-    queries = time_queries(sf_dir, min(HEADLINE_CORES, cores))
+    def emit(phase: str, queries: dict, cold_timed=None) -> None:
+        """Print a COMPLETE summary line for everything measured so far and
+        refresh the detail sidecar. Later emissions supersede earlier ones;
+        a consumer keeping only the tail of a truncated stdout still parses
+        the last finished phase."""
+        high = best["head"]
+        scaling = build_scaling()
+        # north rule: routed-row equality — every run at every parallelism
+        # level must produce IDENTICAL per-sink routed counts
+        all_sink_rows = [json.dumps(r["per_sink_rows"], sort_keys=True)
+                         for rs in all_runs.values() for r in rs]
+        summary = {
+            "metric": "pipeline_e2e_wall",
+            "phase": phase,
+            "routed_rows_equal": len(set(all_sink_rows)) == 1,
+            "value": high["wall_s"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": tag,
+            "docs": high["docs"],
+            "lines": high["lines"],
+            "docs_per_sec": high["docs_per_sec"],
+            "lines_per_sec": high["lines_per_sec"],
+            "cores": min(HEADLINE_CORES, cores),
+            "cores_available": cores,
+            # self-describing methodology: where the measured runs' sinks +
+            # shuffle dirs actually lived (tmpfs excludes the sandbox virtual
+            # disk's stall behavior from the record — BENCH/BASELINE.md §4;
+            # pre-r3 records were on-disk and are not directly comparable)
+            "scratch": scratch or "system-tmp(disk)",
+            # host-weather index: fixed CPU work timed at start/end — see
+            # weather_probe(); compare against a quiet-window reading
+            "weather_probe_s": {"start": probe_start,
+                                "end": weather_probe()},
+            "budget_s": BENCH_BUDGET_S,
+            "elapsed_s": round(time.monotonic() - t_start, 1),
+            "scaling": scaling,
+            "detail_file": os.path.relpath(DETAIL_PATH, ROOT),
+        }
+        if cold_timed:
+            summary["queries_cold_timed"] = cold_timed
+        detail = {"runs": {k: [r["wall_s"] for r in rs]
+                           for k, rs in all_runs.items()},
+                  "wall_stats": wall_stats(all_runs["head"]),
+                  "summary": summary}
+        if scaling:
+            detail["scaling"] = dict(scaling)
+            detail["scaling"].update({
+                "timings_n": best["exec_n"].get("timings"),
+                "timings_4n": best["exec_4n"].get("timings"),
+                "stats_n": wall_stats(all_runs["exec_n"]),
+                "stats_4n": wall_stats(all_runs["exec_4n"]),
+            })
+        os.makedirs(os.path.dirname(DETAIL_PATH), exist_ok=True)
+        with open(DETAIL_PATH, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        print(json.dumps(summary), flush=True)
 
-    # north rule: routed-row equality — every run at every parallelism level
-    # must produce IDENTICAL per-sink routed counts
-    all_sink_rows = [json.dumps(r["per_sink_rows"], sort_keys=True)
-                     for rs in all_runs.values() for r in rs]
-    routed_equal = len(set(all_sink_rows)) == 1
+    emit("headline+scaling", {})
 
-    summary = {
-        "metric": "pipeline_e2e_wall",
-        "routed_rows_equal": routed_equal,
-        "value": high["wall_s"],
-        "unit": "sec",
-        "queries": queries,
-        "sf": tag,
-        "docs": high["docs"],
-        "lines": high["lines"],
-        "docs_per_sec": high["docs_per_sec"],
-        "lines_per_sec": high["lines_per_sec"],
-        "cores": min(HEADLINE_CORES, cores),
-        "cores_available": cores,
-        # self-describing methodology: where the measured runs' sinks +
-        # shuffle dirs actually lived (tmpfs excludes the sandbox virtual
-        # disk's stall behavior from the record — BENCH/BASELINE.md §4;
-        # pre-r3 records were on-disk and are not directly comparable)
-        "scratch": scratch or "system-tmp(disk)",
-        "scaling": scaling,
-        "detail_file": os.path.relpath(DETAIL_PATH, ROOT),
-    }
-    detail["wall_stats"] = wall_stats(all_runs["head"])
-    detail["summary"] = summary
-    os.makedirs(os.path.dirname(DETAIL_PATH), exist_ok=True)
-    with open(DETAIL_PATH, "w") as fh:
-        json.dump(detail, fh, indent=1)
-    print(json.dumps(summary))
+    if do_scaling:
+        # adaptive: a weather-stalled run at either level poisons the
+        # efficiency ratio; spend extra interleaved pairs while the
+        # min-of-N ratio still looks implausibly bad AND the budget
+        # covers another pair (estimated from the pair just measured)
+        pair_cost = (best["exec_n"]["wall_s"] + best["exec_4n"]["wall_s"]
+                     + 60.0)  # + subprocess/session overhead
+        extras = 0
+        for _ in range(BENCH_EXTRA_PAIRS):
+            eff_now = (best["exec_n"]["wall_s"]
+                       / (4.0 * best["exec_4n"]["wall_s"]))
+            if eff_now >= 0.80 or budget_left() < pair_cost + 120:
+                break
+            best = run_interleaved(["exec_n", "exec_4n"], 1)
+            extras += 1
+        # supplementary thread-mode pair (r1-r3 methodology continuity,
+        # opt-in) — dropped first when the budget is tight
+        if (BENCH_THREAD_REPEATS > 0
+                and budget_left() > pair_cost + 180):
+            best = run_interleaved(["thr_n", "thr_4n"],
+                                   BENCH_THREAD_REPEATS)
+        if extras or BENCH_THREAD_REPEATS > 0:
+            emit("scaling-extras", {})
+
+    queries, cold_timed = time_queries(sf_dir, min(HEADLINE_CORES, cores),
+                                       budget_left_s=budget_left)
+    emit("final", queries, cold_timed)
 
 
 if __name__ == "__main__":

@@ -227,8 +227,20 @@ def pagerank_integer(pairs: DataFrame, iterations: int = 3,
     no dangling-mass corrections. Driver holds only the loop counter;
     lineage is truncated per round via the module's checkpoint policy.
 
-    Returns (node BIGINT, pr BIGINT): every node with its rank after
-    ``iterations`` rounds.
+    Overflow bound (the exact-integer contract): a node's ``inflow`` is at
+    most the total circulating mass ~ n_nodes * scale (realizable: a star
+    hub fed by degree-1 leaves), so ``inflow * 85`` stays inside BIGINT
+    only while ``n_nodes * scale < 2^63 / 85`` ~ 1.08e17 — i.e. ~1e5 nodes
+    at the default scale=1e12, ~1e8 nodes at scale=1e9, ~1e11 nodes at
+    scale=1e6. Pick ``scale <= 2^63 / (100 * n_nodes)``: rank precision
+    trades directly against node count. Spark (non-ANSI) would WRAP
+    silently past the bound while DuckDB errors, so exceeding it breaks
+    cross-engine bit-equality silently — size ``scale`` first.
+
+    Returns (node, pr BIGINT): every node with its rank after
+    ``iterations`` rounds. ``node`` inherits the input id type (BIGINT for
+    doc ids, STRING for host names — any equi-joinable key works; only
+    ``pr`` is guaranteed BIGINT).
     """
     # materialize the edge list ONCE: without truncation every round's
     # joins re-derive the pair-generation lineage (posting lists, LSH,

@@ -12,6 +12,16 @@ the DuckDB oracles (``parse_url`` would be Spark-only semantics).
 Reference scope note: the reference (rmarnold/logparse_rs) stops at line
 parsing; link/web-graph work is Spark-native ground added for the
 Common-Crawl target, same as the dedup/similarity families.
+
+Input assumption — VALID UTF-8 html bytes: ``cast('string')`` decodes
+invalid UTF-8 LOSSILY in Spark (replacement char) while DuckDB's
+``decode()`` RAISES on it, so the two engines diverge (wrong-vs-error) on
+non-UTF-8 input; real crawl html is frequently not valid UTF-8. The repo's
+page fixtures are ASCII by construction, so the oracle contract holds
+there. At crawl scale, either pre-filter to valid UTF-8 (``html =
+encode(decode(html))`` round-trip check scan-side) or transcode upstream
+(WARC charset sniffing) before this operator; anchors whose bytes survive
+lossy decoding still extract correctly either way.
 """
 
 from __future__ import annotations

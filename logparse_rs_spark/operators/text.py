@@ -321,8 +321,38 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 64,
     )
 
 
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, bigram) pairs — the shared scan of both lm_score passes."""
+    words = _words(F.col(text_col))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(words) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+
+
+def lm_bigram_model(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> tuple:
+    """PASS 1 of the at-scale lm_score deployment: build the corpus bigram
+    count model as two vocab-sized DataFrames plus the vocabulary size —
+    (bigram_counts(bigram, bg_n), first_word_counts(w1, un_n), vocab).
+    Both tables are vocab-sized (map-side partial aggregation; nothing
+    corpus-sized shuffles except the (doc, bigram) pairs once), meant to be
+    persisted (e.g. parquet) and broadcast at apply time, so the scoring
+    pass over a 10^12-doc corpus never rebuilds or shuffles the model."""
+    doc_bg = _doc_bigrams(docs, text_col, id_col)
+    bg_counts = doc_bg.groupBy("bigram").agg(F.count("*").alias("bg_n"))
+    un_counts = (doc_bg
+                 .select(F.split(F.col("bigram"), " ").getItem(0).alias("w1"))
+                 .groupBy("w1").agg(F.count("*").alias("un_n")))
+    vocab = (docs.select(F.explode(_words(F.col(text_col))).alias("t"))
+             .agg(F.count_distinct("t")).first()[0])
+    return bg_counts, un_counts, int(vocab)
+
+
 def lm_score(docs: DataFrame, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
+             id_col: str = "doc_id", model: tuple | None = None) -> DataFrame:
     """Statistical language-model quality score (the perplexity-filter
     step of C4/CCNet-style curation, with EXACT corpus counts instead of
     an external KenLM): score(doc) = mean over its bigrams of
@@ -331,33 +361,44 @@ def lm_score(docs: DataFrame, text_col: str = "text",
     boilerplate-unlike text relative to the corpus itself. Returns
     (id, n_bigrams, lm_score) with the score rounded to 6 decimals.
 
-    Scale shape: two vocab-sized aggregates (bigram + unigram counts,
-    map-side partial agg) joined back to the per-doc bigram list on the
-    bigram key, then one per-doc mean. In a two-pass deployment the
-    count model is a small persisted table (vocab-sized, broadcast-able);
-    nothing corpus-sized shuffles except the (doc, bigram) pairs."""
+    Two forms, identical answers when the model was built on `docs`:
+
+    - ``model=None`` (single-pass): corpus counts as windows over the
+      distinct keys of the SAME (doc, bigram) frame — two vocab-sized
+      aggregates (map-side partial agg) joined back on the bigram key,
+      then one per-doc mean. This is the oracle-checked form.
+    - ``model=lm_bigram_model(...)`` (two-pass, the at-scale path): the
+      persisted count model is BROADCAST onto the corpus's (doc, bigram)
+      pairs — the corpus scan reaches the per-doc aggregate without a
+      single corpus-sized shuffle (the only Exchange left is the doc-keyed
+      partial-aggregated mean; plan-pinned in tests/test_plans.py). Counts
+      missing from the model score as unseen: P = 1 / (un_n(w1) + V),
+      with un_n(w1) = 0 for a first word the model never saw."""
     from pyspark.sql import Window
 
-    words = _words(F.col(text_col))
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(words) - 1),
-                    lambda i: F.concat_ws(" ", F.slice(words, i, 2))),
-    ).otherwise(F.array().cast("array<string>"))
-    doc_bg = docs.select(F.col(id_col),
-                         F.explode(bigrams).alias("bigram"))
+    doc_bg = _doc_bigrams(docs, text_col, id_col)
     w1 = F.split(F.col("bigram"), " ").getItem(0)
-    # corpus counts as windows over the distinct keys of the SAME frame:
-    # bigram count over the bigram key, unigram (as-first-word) count over
-    # the first-word key
-    bg_n = F.count("*").over(Window.partitionBy("bigram"))
-    un_n = F.count("*").over(Window.partitionBy(w1))
-    vocab = docs.select(F.explode(words).alias("t")) \
-        .agg(F.count_distinct("t")).first()[0]
-    scored = doc_bg.select(
-        F.col(id_col),
-        F.log((bg_n + F.lit(1.0)) / (un_n + F.lit(float(vocab))))
-        .alias("lp"))
+    if model is None:
+        bg_n = F.count("*").over(Window.partitionBy("bigram"))
+        un_n = F.count("*").over(Window.partitionBy(w1))
+        words = _words(F.col(text_col))
+        vocab = docs.select(F.explode(words).alias("t")) \
+            .agg(F.count_distinct("t")).first()[0]
+        scored = doc_bg.select(
+            F.col(id_col),
+            F.log((bg_n + F.lit(1.0)) / (un_n + F.lit(float(vocab))))
+            .alias("lp"))
+    else:
+        bg_counts, un_counts, vocab = model
+        scored = (doc_bg
+                  .withColumn("w1", w1)
+                  .join(F.broadcast(bg_counts), on="bigram", how="left")
+                  .join(F.broadcast(un_counts), on="w1", how="left")
+                  .select(
+                      F.col(id_col),
+                      F.log((F.coalesce(F.col("bg_n"), F.lit(0)) + F.lit(1.0))
+                            / (F.coalesce(F.col("un_n"), F.lit(0))
+                               + F.lit(float(vocab)))).alias("lp")))
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.avg("lp"), 6).alias("lm_score")))
@@ -644,9 +685,16 @@ def collocations(docs: DataFrame, k: int = 20, min_count: int = 5,
     partial agg -> ONE vocab-sized shuffle (Zipf does the map-side work);
     the two count joins are token-keyed joins between vocab-sized frames —
     the corpus itself never shuffles. No broadcast hint: vocab size scales
-    with the corpus (AQE promotes the build side while it fits). Overflow
-    bound: n_xy * 1e9 needs n_xy < 9.2e9 — per-shard rankings cover the
-    corpus sizes beyond that.
+    with the corpus (AQE promotes the build side while it fits).
+
+    Overflow bounds (the exact-integer contract, stated per product since
+    Spark non-ANSI wraps silently where DuckDB errors): the numerator
+    ``n_xy * 1e9`` needs n_xy < 9.2e9; the denominator ``n_x * n_y`` needs
+    the unigram-count product < 2^63 ~ 9.2e18 (geometric mean < ~3.0e9 per
+    word — a stopword pair in a 10^12-token corpus violates this first).
+    Past either bound, rank per shard (counts reset per shard) or compute
+    the products in DECIMAL(38,0); min_count does not protect the
+    denominator.
 
     Returns (w1, w2, n_xy, n_x, n_y, score_ppb), k rows.
     """
@@ -700,7 +748,13 @@ def exact_quantile_bins(docs: DataFrame, q: int = 10,
     """
     hist = (docs.groupBy(F.col(value_col).cast("long").alias("v"))
             .agg(F.count("*").alias("cnt")))
-    w = (Window.orderBy("v")
+    # single-partition window BY CONSTRUCTION: its input is the histogram
+    # aggregate above (distinct-value-sized, never corpus-sized — pinned in
+    # tests/test_plans.py). The constant partition key makes that intent
+    # explicit and silences WindowExec's no-partition warning, which would
+    # otherwise read as an at-scale defect; execution is identical (one
+    # partition either way).
+    w = (Window.partitionBy(F.lit(0)).orderBy("v")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = hist.select("v", F.sum("cnt").over(w).alias("cum"))
     n_total = docs.groupBy().agg(F.count("*").alias("n"))
@@ -853,6 +907,14 @@ def tfidf_topk(docs: DataFrame, terms: list, k: int = 20,
     A production index would read df from the posting-list table instead
     of recounting — same plan from the join onward.
 
+    Overflow bounds (the exact-integer contract): ``n_docs * 1e9`` needs
+    n_docs < 9.2e9 (a 10^12-doc corpus exceeds it — drop to idf per shard
+    or DECIMAL(38,0) there); the score sum needs
+    ``sum(tf * idf_ppb) < 2^63`` per doc, i.e. per-doc query-term hits x
+    idf_ppb below 9.2e18 — idf_ppb <= 1e9 * n_docs / df, so rare terms in
+    huge corpora hit this before common ones. Spark non-ANSI wraps
+    silently past either bound while DuckDB errors.
+
     Returns (doc_id, score_ppb BIGINT), k rows, ties pinned by doc_id.
     """
     words = _words(F.col(text_col))
@@ -944,15 +1006,21 @@ def rank_fusion_topk(docs: DataFrame, terms: list, k: int = 20,
 
     Returns (doc_id, fused_ppb BIGINT), k rows, ties pinned by doc_id.
     """
+    # both ranking windows run single-partition BY CONSTRUCTION: their
+    # inputs are top-`pool` frames (tfidf_topk's limit / the TakeOrdered
+    # length prior — pinned in tests/test_plans.py), never the corpus. The
+    # constant partition key documents that and silences WindowExec's
+    # no-partition warning; execution is identical (one partition each way).
+    w_pool = Window.partitionBy(F.lit(0))
     r1 = (tfidf_topk(docs, terms, k=pool, text_col=text_col,
                      id_col=id_col)
           .withColumn("rank", F.row_number().over(
-              Window.orderBy(F.desc("score_ppb"), F.asc(id_col))))
+              w_pool.orderBy(F.desc("score_ppb"), F.asc(id_col))))
           .select(id_col, "rank"))
     r2 = (docs.select(id_col, F.length(text_col).cast("long").alias("len"))
           .orderBy(F.desc("len"), F.asc(id_col)).limit(pool)
           .withColumn("rank", F.row_number().over(
-              Window.orderBy(F.desc("len"), F.asc(id_col))))
+              w_pool.orderBy(F.desc("len"), F.asc(id_col))))
           .select(id_col, "rank"))
     contrib = F.expr(f"CAST(1000000000 DIV ({rrf_k} + rank) AS BIGINT)")
     fused = (r1.select(id_col, contrib.alias("c"))

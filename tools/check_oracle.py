@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 import os
 import sys
+import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
@@ -61,9 +62,11 @@ def main():
             con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
     failures = 0
+    t_gate0 = time.perf_counter()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
@@ -99,8 +102,10 @@ def main():
                 print("  spark :", sorted(srows)[:12])
                 print("  duckdb:", sorted(drows)[:12])
         else:
-            print(f"OK   {name}: rows={len(srows)}")
-    print("failures:", failures)
+            print(f"OK   {name}: rows={len(srows)} "
+                  f"[{time.perf_counter() - t0:.2f}s]")
+    print(f"failures: {failures} "
+          f"(total {time.perf_counter() - t_gate0:.1f}s)")
     sys.exit(1 if failures else 0)
 
 
