@@ -92,8 +92,11 @@ EXEC_CORES = int(os.environ.get("BENCH_EXEC_CORES", "1"))
 BENCH_EXTRA_PAIRS = int(os.environ.get("BENCH_EXTRA_PAIRS", "3"))
 # everything too long for the driver's tail-capture window (per-level
 # timings, per-run stats) goes to this sidecar instead of the JSON line —
-# BENCH_r02.json came back "parsed": null because the line overflowed it
-DETAIL_PATH = os.path.join(ROOT, "BENCH", "bench_detail.json")
+# BENCH_r02.json came back "parsed": null because the line overflowed it.
+# Per-SF filename so a quick sf0.01 verify drive cannot clobber the sf0.1
+# official record's detail (that happened once, r5).
+def _detail_path(tag: str) -> str:
+    return os.path.join(ROOT, "BENCH", f"bench_detail_{tag}.json")
 
 
 def _scratch_dir() -> str | None:
@@ -466,7 +469,7 @@ def main() -> None:
             "budget_s": BENCH_BUDGET_S,
             "elapsed_s": round(time.monotonic() - t_start, 1),
             "scaling": scaling,
-            "detail_file": os.path.relpath(DETAIL_PATH, ROOT),
+            "detail_file": os.path.relpath(_detail_path(tag), ROOT),
         }
         if cold_timed:
             summary["queries_cold_timed"] = cold_timed
@@ -482,8 +485,8 @@ def main() -> None:
                 "stats_n": wall_stats(all_runs["exec_n"]),
                 "stats_4n": wall_stats(all_runs["exec_4n"]),
             })
-        os.makedirs(os.path.dirname(DETAIL_PATH), exist_ok=True)
-        with open(DETAIL_PATH, "w") as fh:
+        os.makedirs(os.path.dirname(_detail_path(tag)), exist_ok=True)
+        with open(_detail_path(tag), "w") as fh:
             json.dump(detail, fh, indent=1)
         print(json.dumps(summary), flush=True)
 

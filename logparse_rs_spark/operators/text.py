@@ -774,7 +774,8 @@ def exact_quantile_bins(docs: DataFrame, q: int = 10,
 def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 8,
                    min_len: int = 8, ngram: int = 1,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   words_col: str | None = None) -> DataFrame:
     """Posting-list build for mid-rarity terms — the retrieval-index /
     concordance pass (which documents mention this term/phrase?), df-banded
     so the output is the interesting tail, not the stopword head. With
@@ -795,7 +796,7 @@ def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 8,
     Returns (token, df BIGINT, postings STRING).
     """
     posts = _posting_ids(docs, min_df, max_df, min_len, ngram,
-                         text_col, id_col)
+                         text_col, id_col, words_col=words_col)
     return posts.select(
         "token", "df",
         F.array_join(
@@ -804,10 +805,14 @@ def inverted_index(docs: DataFrame, min_df: int = 2, max_df: int = 8,
 
 
 def _posting_ids(docs: DataFrame, min_df: int, max_df: int, min_len: int,
-                 ngram: int, text_col: str, id_col: str) -> DataFrame:
+                 ngram: int, text_col: str, id_col: str,
+                 words_col: str | None = None) -> DataFrame:
     """Shared posting-list core: (token, df BIGINT, ids array) with df in
-    [min_df, max_df] — so every ids array is bounded by max_df."""
-    words = _words(F.col(text_col))
+    [min_df, max_df] — so every ids array is bounded by max_df.
+    ``words_col`` names a PRE-TOKENIZED array column to reuse (the
+    tokenize-once-share-everywhere pattern for a session running several
+    retrieval queries); when absent, tokenization happens scan-side."""
+    words = F.col(words_col) if words_col else _words(F.col(text_col))
     if ngram > 1:
         terms = F.when(
             F.size(words) >= ngram,
@@ -830,7 +835,8 @@ def _posting_ids(docs: DataFrame, min_df: int, max_df: int, min_len: int,
 def related_doc_pairs(docs: DataFrame, min_shared: int = 2,
                       min_df: int = 2, max_df: int = 8, min_len: int = 1,
                       ngram: int = 3, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      words_col: str | None = None) -> DataFrame:
     """Related-document candidate pairs via shared MID-RARITY phrases: two
     docs are related when they co-occur on >= min_shared posting lists of
     df-banded terms (the "more like this" retrieval pass, and a third
@@ -847,7 +853,7 @@ def related_doc_pairs(docs: DataFrame, min_shared: int = 2,
     Returns (id_a, id_b, shared_terms BIGINT), id_a < id_b, unordered set.
     """
     posts = _posting_ids(docs, min_df, max_df, min_len, ngram,
-                         text_col, id_col)
+                         text_col, id_col, words_col=words_col)
     pairs = (posts.select(F.explode("ids").alias("id_a"), "ids")
              .select("id_a", F.explode("ids").alias("id_b"))
              .filter(F.col("id_a") < F.col("id_b")))
@@ -893,7 +899,8 @@ def bpe_pair_counts(docs: DataFrame, k: int = 20,
 
 
 def tfidf_topk(docs: DataFrame, terms: list, k: int = 20,
-               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+               text_col: str = "text", id_col: str = "doc_id",
+               words_col: str | None = None) -> DataFrame:
     """Ranked retrieval: top-k documents for a bag-of-terms query under
     tf-idf scoring with an exact-integer idf (idf_ppb = N * 1e9 DIV df) —
     float-free on purpose so the ranking is bit-identical on any engine
@@ -917,7 +924,7 @@ def tfidf_topk(docs: DataFrame, terms: list, k: int = 20,
 
     Returns (doc_id, score_ppb BIGINT), k rows, ties pinned by doc_id.
     """
-    words = _words(F.col(text_col))
+    words = F.col(words_col) if words_col else _words(F.col(text_col))
     hits = F.filter(words, lambda x: x.isin(*terms))
     tf = (docs.select(F.col(id_col), F.explode(hits).alias("term"))
           .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
@@ -990,7 +997,8 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
 def rank_fusion_topk(docs: DataFrame, terms: list, k: int = 20,
                      pool: int = 100, rrf_k: int = 60,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     words_col: str | None = None) -> DataFrame:
     """Reciprocal-rank fusion of two retrieval rankings — the standard way
     to merge heterogeneous scorers (here: tf-idf relevance for a term
     query x a length prior; in production: BM25 x embedding-ANN) without
@@ -1013,7 +1021,7 @@ def rank_fusion_topk(docs: DataFrame, terms: list, k: int = 20,
     # no-partition warning; execution is identical (one partition each way).
     w_pool = Window.partitionBy(F.lit(0))
     r1 = (tfidf_topk(docs, terms, k=pool, text_col=text_col,
-                     id_col=id_col)
+                     id_col=id_col, words_col=words_col)
           .withColumn("rank", F.row_number().over(
               w_pool.orderBy(F.desc("score_ppb"), F.asc(id_col))))
           .select(id_col, "rank"))
