@@ -576,11 +576,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_vocab_top25(spark, sf_dir):
         from logparse_rs_spark.operators.text import vocab_top
-        return vocab_top(_docs(spark, sf_dir), k=25)
+        return vocab_top(_tok_docs(spark, sf_dir), k=25, words_col="words")
 
     def doc_repeated_5grams(spark, sf_dir):
         from logparse_rs_spark.operators.text import repeated_ngrams
-        return repeated_ngrams(_docs(spark, sf_dir), n=5, k=20, min_count=2)
+        return repeated_ngrams(_tok_docs(spark, sf_dir), n=5, k=20,
+                               min_count=2, words_col="words")
 
     def tpch_q5ish(spark, sf_dir):
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1210,9 +1211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plan returns the identical answer.
         from logparse_rs_spark.operators.sketch import (heavy_hitters_exact,
                                                         word_bigrams)
-        d = _docs(spark, sf_dir)
-        grams = d.select(F.explode(word_bigrams(F.col("text")))
-                         .alias("gram"))
+        d = _tok_docs(spark, sf_dir)
+        grams = d.select(F.explode(
+            word_bigrams(F.col("text"), words=F.col("words"))).alias("gram"))
         return heavy_hitters_exact(grams, "gram", support_den=1000)
 
     def events_transitions(spark, sf_dir):
@@ -1228,7 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (n_xy * 1e9 DIV (n_x * n_y)) — no float division anywhere on
         # either engine; corpus never shuffles, only vocab-sized frames.
         from logparse_rs_spark.operators.text import collocations
-        return collocations(_docs(spark, sf_dir), k=20, min_count=5)
+        return collocations(_tok_docs(spark, sf_dir), k=20, min_count=5,
+                            words_col="words")
 
     def doc_length_deciles(spark, sf_dir):
         # exact global decile boundaries of n_chars WITHOUT a total sort:
@@ -1379,6 +1381,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               .filter(F.col("event_type") == "signup"))
         return versioned_intervals(ev, key_cols=["user_id"])
 
+    def doc_bloom_new_docs(spark, sf_dir):
+        # Bloom-prefiltered EXACT membership: which batch docs are new vs
+        # the corpus — the bitmap (fixed-size, broadcast) prunes the
+        # corpus-keyed anti-join down to maybe-members; result identical
+        # to the plain anti-join the oracle runs. Batch = the
+        # incremental-dedup synthesis (recrawled copies + fresh texts);
+        # within-batch copies BOTH survive (membership, not keep-first).
+        from logparse_rs_spark.operators.dedup import (bloom_anti_join,
+                                                       normalized_text)
+        d = _docs(spark, sf_dir)
+        mod = F.pmod(F.col("doc_id"), F.lit(10))
+        fresh = F.concat(F.col("text"), F.lit(" fresh "),
+                         F.col("doc_id").cast("string"))
+        a = (d.filter(mod.isin(0, 1))
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     "text", "lang", "source"))
+        b = (d.filter(mod.isin(2, 3))
+             .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                     fresh.alias("text"), "lang", "source"))
+        c = (d.filter(mod == 2)
+             .select((F.col("doc_id") + 3_000_000).alias("doc_id"),
+                     fresh.alias("text"), "lang", "source"))
+        batch = (a.unionByName(b).unionByName(c)
+                 .withColumn("_nt", normalized_text(F.col("text"))))
+        corpus = d.select(normalized_text(F.col("text")).alias("_nt"))
+        out = bloom_anti_join(batch, corpus, "_nt", m_bits=1 << 21)
+        return out.select("doc_id", "lang", "source")
+
+    def emb_kmeans_assign(spark, sf_dir):
+        # Lloyd's k-means in exact integer arithmetic (quantize -> BIGINT
+        # distances -> floored-integer centroid means): 2 assignment
+        # rounds, k=8, seeds = 8 smallest vec_ids. The relational spec of
+        # the numpy IVF path, oracle-checked bit-for-bit.
+        from logparse_rs_spark.operators.similarity import (
+            kmeans_assign_exact)
+        return kmeans_assign_exact(_emb(spark, sf_dir), k=8, iterations=2)
+
     # ORDER MATTERS for the driver's correctness gate: it checks the
     # FIRST 50 entries (CORRECTNESS_r04 = exactly the first 50 of the r4
     # dict). Round 5 rotates the order so the 42 queries the r4 snapshot
@@ -1432,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_active": events_sliding_active,
         "log_link_hosts": log_link_hosts,
         "log_host_pagerank": log_host_pagerank,
+        "doc_bloom_new_docs": doc_bloom_new_docs,
+        "emb_kmeans_assign": emb_kmeans_assign,
         "log_route_counts": log_route_counts,
         "log_integrity_table": log_integrity_table,
         "doc_exact_dedup": doc_exact_dedup,
@@ -2009,6 +2050,67 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+        """,
+        # Bloom-prefiltered membership is EXACT by construction (the
+        # bitmap only prunes; maybe-members are verified), so the oracle
+        # is the plain anti-join. Within-batch copies both survive —
+        # membership vs the corpus, not keep-first.
+        "doc_bloom_new_docs": f"""
+            WITH nb AS (
+              SELECT doc_id + 1000000 AS doc_id, text, lang, source
+              FROM documents WHERE doc_id % 10 IN (0, 1)
+              UNION ALL
+              SELECT doc_id + 2000000, text || ' fresh ' || doc_id,
+                     lang, source
+              FROM documents WHERE doc_id % 10 IN (2, 3)
+              UNION ALL
+              SELECT doc_id + 3000000, text || ' fresh ' || doc_id,
+                     lang, source
+              FROM documents WHERE doc_id % 10 = 2),
+            norm AS (SELECT doc_id, lang, source,
+                            trim(regexp_replace(lower(text), '{WSP}',
+                                                ' ', 'g')) AS nt
+                     FROM nb),
+            corp AS (SELECT DISTINCT trim(regexp_replace(lower(text),
+                                          '{WSP}', ' ', 'g')) AS nt
+                     FROM documents)
+            SELECT doc_id, lang, source FROM norm
+            WHERE nt NOT IN (SELECT nt FROM corp)
+        """,
+        # k-means in exact integer arithmetic, 2 unrolled Lloyd's rounds:
+        # FLOOR(float64 * 1e6) quantization, BIGINT squared-delta
+        # distances, floored-integer centroid means — bit-identical to
+        # the Spark plan (kmeans_assign_exact docstring has the bounds).
+        "emb_kmeans_assign": """
+            WITH v AS (
+              SELECT vec_id AS id, g.i AS i,
+                     CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1000000)
+                          AS BIGINT) AS val
+              FROM embeddings, generate_series(1, 64) AS g(i)
+            ),
+            seeds AS (SELECT vec_id AS c FROM embeddings
+                      ORDER BY vec_id LIMIT 8),
+            c0 AS (SELECT s.c, v.i, v.val AS cv
+                   FROM v JOIN seeds s ON v.id = s.c),
+            d1 AS (SELECT v.id, c0.c,
+                          SUM((v.val - c0.cv) * (v.val - c0.cv)) AS dist
+                   FROM v JOIN c0 USING (i) GROUP BY v.id, c0.c),
+            a1 AS (SELECT id, c FROM (
+                     SELECT id, c, ROW_NUMBER() OVER (
+                       PARTITION BY id ORDER BY dist, c) AS rn
+                     FROM d1) WHERE rn = 1),
+            m1 AS (SELECT a1.c, v.i, SUM(v.val) AS s, COUNT(*) AS n
+                   FROM v JOIN a1 USING (id) GROUP BY a1.c, v.i),
+            c1 AS (SELECT c, i,
+                          (s - ((s % n) + n) % n) // n AS cv FROM m1),
+            d2 AS (SELECT v.id, c1.c,
+                          SUM((v.val - c1.cv) * (v.val - c1.cv)) AS dist
+                   FROM v JOIN c1 USING (i) GROUP BY v.id, c1.c),
+            a2 AS (SELECT id, c FROM (
+                     SELECT id, c, ROW_NUMBER() OVER (
+                       PARTITION BY id ORDER BY dist, c) AS rn
+                     FROM d2) WHERE rn = 1)
+            SELECT id AS vec_id, CAST(c AS BIGINT) AS cluster FROM a2
         """,
     }
     # duplicate-cluster oracle: transitive closure of the SAME pair set via

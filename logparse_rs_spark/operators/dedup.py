@@ -480,3 +480,77 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame,
             .groupBy("_k").agg(F.min(id_col).alias(id_col))
             .select(id_col))
     return new_docs.join(surv, id_col, "left_semi")
+
+
+def bloom_bits(keys: DataFrame, key_col: str, m_bits: int = 1 << 20,
+               n_hashes: int = 2) -> DataFrame:
+    """Build a Bloom-filter bitmap over a key column as a TABLE of
+    (word_idx BIGINT, bits BIGINT) — 63 usable bits per word so no shift
+    ever touches the sign bit (engine-portable two's-complement safety).
+
+    This is the persist-once side of incremental membership at crawl
+    scale: build it over the corpus key set once, write it out (it is
+    m_bits/63 rows regardless of corpus size), and reuse it for every
+    incoming batch instead of rescanning 10^12 corpus keys. Hash basis is
+    md5 (identical on any engine) split into two independent 60-bit
+    integers combined by double hashing h_j = (h1 + j*h2) mod m; a
+    degenerate h2 only raises the false-positive rate, never causes a
+    false negative. Size m at ~10 bits per distinct key for ~3% FP with
+    the default two hashes ((1 - e^(-k*n/m))^k)."""
+    pos = F.array(*_bloom_positions(F.col(key_col), n_hashes, m_bits))
+    return (keys.select(F.explode(pos).alias("_pos"))
+            .select(F.expr("_pos DIV 63").alias("_w"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(pmod(_pos, 63) AS INT))").alias("_m"))
+            .groupBy("_w").agg(F.bit_or("_m").alias("_bits")))
+
+
+def _bloom_positions(key_col: F.Column, n_hashes: int, m_bits: int) -> list:
+    """k bit positions for a key: md5 -> two 60-bit ints -> double hash."""
+    digest = F.md5(key_col.cast("string"))
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(digest, 16, 15), 16, 10).cast("bigint")
+    return [F.pmod(h1 + F.lit(j) * h2, F.lit(m_bits))
+            for j in range(n_hashes)]
+
+
+def bloom_anti_join(batch: DataFrame, corpus: DataFrame, key_col: str,
+                    m_bits: int = 1 << 20, n_hashes: int = 2,
+                    bits: Optional[DataFrame] = None) -> DataFrame:
+    """EXACT anti-join (batch keys not present in corpus) with a
+    Bloom-filter prefilter — the result is identical to a plain
+    ``left_anti`` join; the bitmap only PRUNES the expensive path.
+
+    Scale shape: every batch key probes the broadcast bitmap (fixed
+    m_bits/63-row table, size independent of corpus cardinality). A key
+    with any unset probe bit is DEFINITELY new (Bloom guarantee) and
+    never enters a shuffle against the corpus; only maybe-members (true
+    members + the ~3% false positives) go through the exact key-shuffle
+    anti-join. For a mostly-new crawl batch this removes almost the whole
+    corpus-side join; pass a persisted ``bits`` table (from
+    :func:`bloom_bits`) to skip rebuilding the bitmap per increment.
+
+    Within-batch duplicate keys are NOT collapsed — this is membership
+    against the corpus only; compose with keep-first (incremental_dedup)
+    when batch-internal dedup is wanted."""
+    if bits is None:
+        bits = bloom_bits(corpus.select(key_col).distinct(), key_col,
+                          m_bits, n_hashes)
+    pos = F.array(*_bloom_positions(F.col(key_col), n_hashes, m_bits))
+    probes = (batch.select(key_col).distinct()
+              .select(key_col, F.explode(pos).alias("_pos"))
+              .select(key_col, F.expr("_pos DIV 63").alias("_w"),
+                      F.expr("shiftleft(CAST(1 AS BIGINT), "
+                             "CAST(pmod(_pos, 63) AS INT))").alias("_m"))
+              .join(F.broadcast(bits), "_w", "left")
+              .withColumn("_hit",
+                          F.col("_bits").isNotNull()
+                          & (F.col("_bits").bitwiseAND(F.col("_m")) != 0))
+              .groupBy(key_col)
+              .agg(F.min(F.col("_hit").cast("int")).alias("_all_hit")))
+    fresh = probes.filter(F.col("_all_hit") == 0).select(key_col)
+    maybe = probes.filter(F.col("_all_hit") == 1).select(key_col)
+    confirmed = maybe.join(corpus.select(key_col).distinct(),
+                           key_col, "left_anti")
+    new_keys = fresh.unionByName(confirmed)
+    return batch.join(new_keys, key_col, "left_semi")

@@ -408,3 +408,68 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         .filter(F.col("rank") <= k)
         .withColumn("cos_sim", F.round("cos_sim", 6))
     )
+
+
+def kmeans_assign_exact(vectors: DataFrame, k: int = 8, iterations: int = 2,
+                        scale: int = 1_000_000,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means assignment in EXACT INTEGER arithmetic — the
+    cluster-then-curate step of embedding-space corpus work (SemDeDup
+    cells, D4-style cluster-balanced sampling, topic bucketing), expressed
+    so the result is bit-identical on any engine (the oracle-checkable
+    correctness spec for the Arrow/numpy production path, train_ivf_
+    centroids + ivf_assign above).
+
+    Determinism contract: dimensions quantize scan-side via
+    FLOOR(float64(x) * scale) (float32 -> float64 widening and the
+    multiply are IEEE-exact, so both engines floor the same double);
+    distances are BIGINT sums of squared integer deltas; centroid updates
+    are exact floored integer means (s - pmod(s, n)) DIV n — no float
+    division anywhere, ties broken by (distance, centroid id). Seeds =
+    the k smallest ids' vectors. A centroid that loses every point drops
+    out (deterministically, both engines).
+
+    Overflow bound: per-dim delta <= 2 * scale * max|x|; the distance sum
+    needs dim * (2 * scale * max|x|)^2 < 2^63 — unit-norm embeddings at
+    scale=1e6, dim=64 use ~2.6e14, five orders inside the bound.
+
+    Scale shape: the vector table explodes once to (id, dim, q) long form
+    and persists; each iteration is one broadcast join against the
+    k*dim-row centroid table, one (id, c)-keyed partial-agg distance sum,
+    one min_by argmin, one (c, dim)-keyed mean — all map-side-combining
+    hash aggs, no corpus-sized shuffle beyond the long-form key. The
+    k*dim join multiplier prices this for k <= ~100 analysis clustering;
+    for k in the thousands use the vectorized ivf_assign path.
+
+    Returns (vec_id, cluster BIGINT) after ``iterations`` assignment
+    rounds (centroids update between rounds, not after the last).
+    """
+    v = (vectors.select(F.col(id_col).alias("_id"),
+                        F.posexplode(F.col(vec_col)).alias("_i", "_x"))
+         .select("_id", "_i",
+                 F.floor(F.col("_x").cast("double") * F.lit(scale))
+                 .cast("bigint").alias("_v"))
+         .persist())
+    seeds = vectors.select(F.col(id_col).alias("_id")).orderBy("_id").limit(k)
+    cent = (v.join(F.broadcast(seeds), "_id")
+            .select(F.col("_id").alias("_c"), "_i",
+                    F.col("_v").alias("_cv")))
+    assign = None
+    for r in range(iterations):
+        d2 = (F.col("_v") - F.col("_cv")) * (F.col("_v") - F.col("_cv"))
+        dist = (v.join(F.broadcast(cent), "_i")
+                .select("_id", "_c", d2.alias("_d2"))
+                .groupBy("_id", "_c").agg(F.sum("_d2").alias("_dist")))
+        assign = (dist.groupBy("_id")
+                  .agg(F.min(F.struct("_dist", "_c")).alias("_m"))
+                  .select("_id", F.col("_m._c").alias("_c")))
+        if r < iterations - 1:
+            cent = (v.join(assign, "_id")
+                    .groupBy("_c", "_i")
+                    .agg(F.sum("_v").alias("_s"), F.count("*").alias("_n"))
+                    .select("_c", "_i",
+                            F.expr("(_s - pmod(_s, _n)) DIV _n")
+                            .cast("bigint").alias("_cv")))
+    return assign.select(F.col("_id").alias(id_col),
+                         F.col("_c").alias("cluster"))

@@ -113,12 +113,13 @@ def heavy_hitters_exact(items: DataFrame, item_col: str,
         summary.unpersist(blocking=False)
 
 
-def word_bigrams(text_col) -> F.Column:
+def word_bigrams(text_col, words=None) -> F.Column:
     """Adjacent lowercased word bigrams of a text column (JVM-side
-    transform over an index sequence, no UDF)."""
+    transform over an index sequence, no UDF). Pass ``words`` (a
+    pre-tokenized array column) to skip re-tokenizing."""
     from .text import _words
 
-    words = _words(text_col)
+    words = words if words is not None else _words(text_col)
     return F.when(
         F.size(words) >= 2,
         F.transform(F.sequence(F.lit(1), F.size(words) - 1),

@@ -198,7 +198,8 @@ def _words(text_col) -> F.Column:
 
 
 def vocab_top(docs: DataFrame, k: int = 25,
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              words_col: str | None = None) -> DataFrame:
     """Corpus vocabulary build (the token-frequency pass a BPE/tokenizer
     training job starts from): explode whitespace tokens, hash-aggregate
     counts, top-k with a full deterministic order (count desc, token asc).
@@ -207,14 +208,20 @@ def vocab_top(docs: DataFrame, k: int = 25,
     -> TakeOrdered. Token frequency is Zipfian — the hottest tokens are
     exactly where map-side partial aggregation does its work (each
     partition emits one row per distinct token, so the shuffle carries
-    vocab-sized, not corpus-sized, data)."""
-    return (docs.select(F.explode(_words(F.col(text_col))).alias("token"))
+    vocab-sized, not corpus-sized, data).
+
+    ``words_col`` names a pre-tokenized array column to reuse (the
+    tokenize-once-share-everywhere pattern); when absent, tokenization
+    happens scan-side."""
+    words = F.col(words_col) if words_col else _words(F.col(text_col))
+    return (docs.select(F.explode(words).alias("token"))
             .groupBy("token").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("token")).limit(k))
 
 
 def repeated_ngrams(docs: DataFrame, n: int = 5, k: int = 20,
-                    min_count: int = 2, text_col: str = "text") -> DataFrame:
+                    min_count: int = 2, text_col: str = "text",
+                    words_col: str | None = None) -> DataFrame:
     """Most-repeated word n-grams across the corpus (the repetition /
     boilerplate detector — C4-style cleaning drops documents dominated by
     duplicated lines; at corpus level the top repeated n-grams ARE the
@@ -222,8 +229,9 @@ def repeated_ngrams(docs: DataFrame, n: int = 5, k: int = 20,
     documents surface their shingles immediately.
 
     JVM-side throughout: split -> higher-order transform over an index
-    sequence (no UDF) -> explode -> hash count -> TakeOrdered."""
-    words = _words(F.col(text_col))
+    sequence (no UDF) -> explode -> hash count -> TakeOrdered.
+    ``words_col``: optional pre-tokenized array column to reuse."""
+    words = F.col(words_col) if words_col else _words(F.col(text_col))
     shingles = F.when(
         F.size(words) >= n,
         F.transform(
@@ -668,7 +676,8 @@ def mixture_sample(docs: DataFrame, rates: dict, default_rate: float = 1.0,
 
 
 def collocations(docs: DataFrame, k: int = 20, min_count: int = 5,
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 words_col: str | None = None) -> DataFrame:
     """Top-k collocations (PMI-style lift): word bigrams that co-occur far
     more often than their unigram frequencies predict — the phrase-mining
     pass (new-terminology discovery, tokenizer merge candidates, boilerplate
@@ -697,8 +706,9 @@ def collocations(docs: DataFrame, k: int = 20, min_count: int = 5,
     denominator.
 
     Returns (w1, w2, n_xy, n_x, n_y, score_ppb), k rows.
+    ``words_col``: optional pre-tokenized array column to reuse.
     """
-    words = _words(F.col(text_col))
+    words = F.col(words_col) if words_col else _words(F.col(text_col))
     pairs = F.when(
         F.size(words) >= 2,
         F.transform(
