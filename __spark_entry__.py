@@ -70,6 +70,23 @@ def _fixture_paths(sf_dir: str):
     return ensure_fixture_pair(FIXTURE_ROOT, n_pages, anonymized=True)
 
 
+def _url_policy_rules(domains) -> list:
+    """The log_url_policy rule set, shared verbatim by the Spark query and
+    the DuckDB oracle (one source of truth so the two sides can't drift):
+    every 5th domain denied at the root, every 10th gets a LONGER allow
+    override for its page0xxxxx urls, plus a deny/allow pair on hot-a (the
+    skew domain) so longest-match precedence is exercised on real volume."""
+    rules = []
+    for i, d in enumerate(domains):
+        if i % 5 == 0:
+            rules.append((f"https://{d}/", False))
+        if i % 10 == 0:
+            rules.append((f"https://{d}/page0", True))
+    rules.append(("https://hot-a.example.com/", False))
+    rules.append(("https://hot-a.example.com/page0", True))
+    return rules
+
+
 def _load(spark_or_none=None):
     from logparse_rs_spark.anonymizer import load_anonymizer
     from logparse_rs_spark.schema import load_schema
@@ -1418,6 +1435,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             kmeans_assign_exact)
         return kmeans_assign_exact(_emb(spark, sf_dir), k=8, iterations=2)
 
+    def log_crawl_frontier(spark, sf_dir):
+        # frontier scheduling under per-host politeness: one fetch per
+        # host per round, host pinned to a worker by portable md5 hash.
+        # Per-worker rollup (8 rows) — makespan surfaces the hot-host
+        # skew that dominates real crawl wall-clock; round_sum pins the
+        # whole assignment order-sensitively.
+        from logparse_rs_spark.operators.crawl import frontier_schedule
+        pages_path, _ = _fixture_paths(sf_dir)
+        urls = spark.read.parquet(pages_path).select("url").distinct()
+        sched = frontier_schedule(urls, n_workers=8)
+        return (sched.groupBy("worker")
+                .agg(F.count("*").alias("n_urls"),
+                     F.count_distinct("host").alias("n_hosts"),
+                     (F.max("fetch_round") + 1).alias("makespan"),
+                     F.sum("fetch_round").alias("round_sum"))
+                .orderBy("worker"))
+
+    def log_url_policy(spark, sf_dir):
+        # robots-style longest-prefix URL policy evaluated scan-side (the
+        # rule list rides in as an array literal — zero joins). Rules:
+        # every 5th domain denied at the root, every 10th gets a LONGER
+        # allow override for page0xxxxx urls (exercises longest-match
+        # precedence). Per-host allow/deny/rule-hit counts.
+        from logparse_rs_spark.fixtures import DOMAINS
+        from logparse_rs_spark.operators.crawl import apply_url_policy
+        rules = _url_policy_rules(DOMAINS)
+        pages_path, _ = _fixture_paths(sf_dir)
+        urls = spark.read.parquet(pages_path).select("url").distinct()
+        out = apply_url_policy(urls, rules, default_allow=True)
+        host = F.regexp_extract("url", "^https?://([^/]+)", 1)
+        return (out.groupBy(host.alias("host"))
+                .agg(F.count("*").alias("n_urls"),
+                     F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+                     F.sum(F.col("rule_prefix").isNotNull().cast("long"))
+                     .alias("n_rule_hits"))
+                .orderBy("host"))
+
+    def doc_duplicate_spans(spark, sf_dir):
+        # Lee-et-al-style duplicated-span exposure: per doc, how many of
+        # its distinct 8-word spans occur in >=1 other doc (the
+        # document-level signal behind substring-level dedup). Exact
+        # integer ppm output.
+        from logparse_rs_spark.operators.dedup import duplicate_span_stats
+        return duplicate_span_stats(_tok_docs(spark, sf_dir), n=8,
+                                    words_col="words")
+
     # ORDER MATTERS for the driver's correctness gate: it checks the
     # FIRST 50 entries (CORRECTNESS_r04 = exactly the first 50 of the r4
     # dict). Round 5 rotates the order so the 42 queries the r4 snapshot
@@ -1473,6 +1536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_host_pagerank": log_host_pagerank,
         "doc_bloom_new_docs": doc_bloom_new_docs,
         "emb_kmeans_assign": emb_kmeans_assign,
+        "log_crawl_frontier": log_crawl_frontier,
+        "log_url_policy": log_url_policy,
+        "doc_duplicate_spans": doc_duplicate_spans,
         "log_route_counts": log_route_counts,
         "log_integrity_table": log_integrity_table,
         "doc_exact_dedup": doc_exact_dedup,
@@ -2460,6 +2526,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT url, {', '.join(count_exprs)},
                length(scrubbed) AS scrubbed_len
         FROM s
+    """
+    # frontier scheduling: per-host politeness row_number + portable md5
+    # worker hash — ('0x'||hex)::BIGINT here == conv(hex,16,10) in Spark
+    # (60 bits, sign-safe)
+    d["log_crawl_frontier"] = f"""
+        WITH u AS (SELECT DISTINCT url FROM read_parquet('{pages_path}')),
+        h AS (SELECT url, regexp_extract(url, '^https?://([^/]+)', 1)
+                     AS host FROM u),
+        s AS (SELECT url, host,
+                     CAST(('0x' || substr(md5(host), 1, 15))::BIGINT % 8
+                          AS INTEGER) AS worker,
+                     ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) - 1
+                       AS fetch_round
+              FROM h WHERE host <> '')
+        SELECT worker, COUNT(*) AS n_urls,
+               COUNT(DISTINCT host) AS n_hosts,
+               MAX(fetch_round) + 1 AS makespan,
+               SUM(fetch_round)::BIGINT AS round_sum
+        FROM s GROUP BY worker ORDER BY worker
+    """
+    # longest-prefix URL policy: rules generated by the SAME helper the
+    # Spark query uses (_url_policy_rules); tie-break mirrors the Spark
+    # array_max struct order (length, allow, prefix) descending
+    _pol_values = ", ".join(
+        f"('{p}', {'TRUE' if a else 'FALSE'})"
+        for p, a in _url_policy_rules(_DOMAINS))
+    d["log_url_policy"] = f"""
+        WITH u AS (SELECT DISTINCT url FROM read_parquet('{pages_path}')),
+        r(prefix, allow) AS (SELECT * FROM (VALUES {_pol_values})),
+        m AS (SELECT u.url, r.prefix, r.allow,
+                     ROW_NUMBER() OVER (PARTITION BY u.url
+                       ORDER BY length(r.prefix) DESC, r.allow DESC,
+                                r.prefix DESC) AS rn
+              FROM u LEFT JOIN r ON starts_with(u.url, r.prefix)),
+        dec AS (SELECT url,
+                       COALESCE(MAX(CASE WHEN rn = 1 THEN allow END),
+                                TRUE) AS allowed,
+                       MAX(CASE WHEN rn = 1 THEN prefix END) AS rule_prefix
+                FROM m GROUP BY url)
+        SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               COUNT(*) AS n_urls,
+               SUM(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT
+                 AS n_allowed,
+               SUM(CASE WHEN rule_prefix IS NOT NULL THEN 1 ELSE 0
+                   END)::BIGINT AS n_rule_hits
+        FROM dec GROUP BY host ORDER BY host
+    """
+    # duplicated-span exposure: distinct 8-word spans per doc, span
+    # shared iff >=2 docs carry it; same tokenizer class as the other
+    # n-gram oracles, exact-integer ppm
+    d["doc_duplicate_spans"] = f"""
+        WITH w AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text),
+                                                         '{WSP}'),
+                                      x -> x <> '') AS ws
+                   FROM documents),
+        s AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(ws) >= 8 THEN
+                    list_transform(generate_series(1, len(ws) - 7),
+                      i -> array_to_string(list_slice(ws, i, i + 7), ' '))
+                  ELSE []::VARCHAR[] END)) AS span
+              FROM w),
+        c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY span) AS nd
+              FROM s)
+        SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_shared,
+               (SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000)
+                 // COUNT(*) AS shared_ppm
+        FROM c GROUP BY doc_id
     """
     # composed text near-dup oracle: minhash banding CTE + exact 3-gram
     # jaccard verify, both already proven by their standalone oracles

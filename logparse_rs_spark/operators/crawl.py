@@ -1,0 +1,109 @@
+"""Crawl-side scheduling operators over a URL frontier — the work-assignment
+pass that sits in front of a Common-Crawl-style fetch fleet: per-host
+politeness ordering (one fetch per host per round) and robots.txt-shaped
+longest-prefix URL policies.
+
+Reference scope note: the reference (rmarnold/logparse_rs) stops at line
+parsing; frontier/scheduling work is Spark-native ground added for the
+Common-Crawl target, same as the dedup/similarity families.
+
+Scale shape, in one line each:
+
+- ``frontier_schedule``: ONE host-keyed shuffle (the politeness window is
+  the semantics — a host's URLs must serialize), then a worker-keyed
+  rollup over already-tiny per-host output. A hot host's queue depth is
+  the makespan, and the output surfaces it directly — that's the real
+  bottleneck signal at crawl scale, not a plan defect.
+- ``apply_url_policy``: the rule list rides into the scan as an ARRAY
+  literal, so the decision is a pure scan-side projection — zero joins,
+  zero shuffles, whole-stage codegen end to end. This is the right shape
+  while the global policy list is small (blocklists, TLD policy, a few
+  thousand patterns); per-host robots.txt at full diversity becomes a
+  broadcast map join on host instead.
+
+Hash portability: worker assignment hashes the host through md5 and takes
+the first 15 hex digits as a BIGINT — identical in Spark
+(``conv(substr(md5(h),1,15),16,10)``) and DuckDB
+(``('0x' || substr(md5(h),1,15))::BIGINT``); 60 bits, so the cast never
+touches the sign bit.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .links import HOST_PATTERN
+
+
+def host_hash60(col) -> F.Column:
+    """Engine-portable 60-bit hash of a string column (md5 prefix)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def frontier_schedule(urls: DataFrame, n_workers: int = 8,
+                      url_col: str = "url") -> DataFrame:
+    """Assign every frontier URL a (worker, fetch_round) slot under
+    per-host politeness: a host's URLs are fetched one per round, in
+    deterministic URL order, and a host is pinned to one worker (so
+    politeness needs no cross-worker coordination — the standard
+    host-sharded frontier design).
+
+    Returns (url, host, worker INT, fetch_round BIGINT); fetch_round is
+    0-based within the host. URLs with no parseable host are dropped
+    (they cannot be scheduled politely).
+
+    Plan: host extraction scan-side -> ONE shuffle on host for the
+    row_number window (required by the semantics: the per-host fetch
+    order IS the output) -> worker assignment is a scan-side md5, no
+    second shuffle. Skew: a host with c URLs produces makespan c on its
+    worker; that is the crawl-politeness reality, and the rollup query
+    over this output is how you see it. The window state per host is one
+    counter, so a 10^8-URL host streams through a single task without
+    materializing the host's rows."""
+    host = F.regexp_extract(F.col(url_col), HOST_PATTERN, 1)
+    t = (urls.select(F.col(url_col).alias("url"), host.alias("host"))
+         .filter(F.col("host") != ""))
+    w = Window.partitionBy("host").orderBy("url")
+    return t.select(
+        "url", "host",
+        F.pmod(host_hash60(F.col("host")), F.lit(n_workers))
+        .cast("int").alias("worker"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("fetch_round"))
+
+
+def apply_url_policy(urls: DataFrame, rules: List[Tuple[str, bool]],
+                     default_allow: bool = True,
+                     url_col: str = "url") -> DataFrame:
+    """robots.txt-shaped URL policy: the LONGEST matching prefix rule
+    decides allow/deny; no match falls back to ``default_allow`` (robots
+    semantics: longest-match wins, Google tie-break prefers allow — ties
+    here resolve (length, allow) max, i.e. allow wins at equal length).
+
+    ``rules`` is a plain Python list of (prefix, allow) — it compiles
+    into an ARRAY<STRUCT> literal evaluated per row inside codegen, so
+    the corpus never joins or shuffles; the added columns are
+    (allowed BOOLEAN, rule_prefix STRING nullable).
+
+    At 10^12 URLs this is the cheapest possible shape: the policy rides
+    in the instruction stream, not the data stream. It prices well up to
+    ~10^4 rules (per-row linear filter over the array); beyond that, or
+    for per-host robots tables, switch to a broadcast join on host and
+    keep this form for the global layer."""
+    arr = F.array(*[
+        F.struct(F.lit(p).alias("prefix"), F.lit(bool(a)).alias("allow"))
+        for p, a in rules])
+    matched = F.filter(arr, lambda r: F.col(url_col).startswith(r["prefix"]))
+    best = F.array_max(F.transform(
+        matched, lambda r: F.struct(F.length(r["prefix"]).alias("l"),
+                                    r["allow"].alias("allow"),
+                                    r["prefix"].alias("prefix"))))
+    return (urls
+            .withColumn("_best", best)
+            .withColumn("allowed",
+                        F.coalesce(F.col("_best.allow"),
+                                   F.lit(bool(default_allow))))
+            .withColumn("rule_prefix", F.col("_best.prefix"))
+            .drop("_best"))

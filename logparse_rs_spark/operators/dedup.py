@@ -554,3 +554,52 @@ def bloom_anti_join(batch: DataFrame, corpus: DataFrame, key_col: str,
                            key_col, "left_anti")
     new_keys = fresh.unionByName(confirmed)
     return batch.join(new_keys, key_col, "left_semi")
+
+
+def duplicate_span_stats(docs: DataFrame, n: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         words_col: Optional[str] = None) -> DataFrame:
+    """Per-document duplicated-span exposure — the document-level signal
+    behind substring-level training-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    doc, what fraction of its distinct word n-gram spans also occurs in at
+    least one OTHER document. Docs dominated by shared spans are template
+    boilerplate / syndicated copies even when no whole-doc near-dup fires;
+    the full substring-removal pass starts from exactly this span->doc
+    inverted mapping.
+
+    Returns (id, n_spans, n_shared, shared_ppm BIGINT) for docs with at
+    least one span (>= n words); shared_ppm = n_shared * 1e6 DIV n_spans,
+    exact integer (n_shared <= n_spans so the product stays < 2^63 for
+    any doc under ~9.2e12 spans).
+
+    Scale shape: spans materialize scan-side (split -> transform over an
+    index sequence, no UDF), de-duped PER DOC before leaving the scan
+    (array_distinct), then exactly two hash shuffles — one on the span
+    key (the inverted-index shuffle every substring-dedup job pays; at
+    production scale map the span through xxhash64 first so the shuffle
+    carries 8-byte keys, identical answer absent a 2^-64 collision), one
+    on the doc id for the final rollup. Span frequency is Zipfian, so
+    map-side partial counts collapse the hot template spans before the
+    wire."""
+    from .text import _words
+
+    words = (F.col(words_col) if words_col
+             else _words(F.col(text_col)))
+    spans = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per = docs.select(F.col(id_col),
+                      F.explode(F.array_distinct(spans)).alias("span"))
+    n_docs = F.count("*").over(Window.partitionBy("span"))
+    return (per.withColumn("_nd", n_docs)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum((F.col("_nd") >= 2).cast("long")).alias("n_shared"))
+            .withColumn("shared_ppm",
+                        F.expr("n_shared * 1000000 DIV n_spans")))

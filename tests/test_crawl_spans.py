@@ -1,0 +1,112 @@
+"""Crawl-frontier scheduling, longest-prefix URL policy, and
+duplicated-span stats unit tests.
+
+All three have oracle-checked queries (log_crawl_frontier,
+log_url_policy, doc_duplicate_spans); these pin the properties the
+aggregate oracles can't see: per-host round contiguity, host->worker
+pinning, longest-match precedence at the row level, the zero-shuffle
+shape of the policy operator, and span de-duplication within a doc.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logparse_rs_spark.operators.crawl import (apply_url_policy,
+                                               frontier_schedule)
+from logparse_rs_spark.operators.dedup import duplicate_span_stats
+
+
+def _urls_df(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+class TestFrontierSchedule:
+    def test_per_host_rounds_contiguous_and_ordered(self, spark):
+        urls = [f"https://a.com/p{i}" for i in range(5)] + \
+               ["https://b.com/x", "https://b.com/y"]
+        out = frontier_schedule(_urls_df(spark, urls), n_workers=4).collect()
+        by_host = {}
+        for r in out:
+            by_host.setdefault(r.host, []).append((r.fetch_round, r.url))
+        for host, slots in by_host.items():
+            slots.sort()
+            # rounds are 0..c-1 with no gaps, assigned in url order
+            assert [s[0] for s in slots] == list(range(len(slots)))
+            assert [s[1] for s in slots] == sorted(s[1] for s in slots)
+
+    def test_host_pinned_to_one_worker(self, spark):
+        urls = [f"https://h{i % 3}.com/p{i}" for i in range(30)]
+        out = frontier_schedule(_urls_df(spark, urls), n_workers=2).collect()
+        workers_per_host = {}
+        for r in out:
+            workers_per_host.setdefault(r.host, set()).add(r.worker)
+        assert all(len(ws) == 1 for ws in workers_per_host.values())
+        assert all(0 <= r.worker < 2 for r in out)
+
+    def test_unparseable_urls_dropped(self, spark):
+        out = frontier_schedule(
+            _urls_df(spark, ["https://ok.com/a", "not a url", "ftp://x/y"]),
+            n_workers=4).collect()
+        assert [r.url for r in out] == ["https://ok.com/a"]
+
+
+class TestUrlPolicy:
+    RULES = [("https://d.com/", False),
+             ("https://d.com/page0", True),
+             ("https://e.com/private/", False)]
+
+    def _decide(self, spark, url):
+        out = apply_url_policy(_urls_df(spark, [url]), self.RULES).collect()
+        return out[0].allowed, out[0].rule_prefix
+
+    def test_longest_match_overrides_shorter_deny(self, spark):
+        assert self._decide(spark, "https://d.com/page01") == \
+            (True, "https://d.com/page0")
+
+    def test_shorter_deny_applies_elsewhere(self, spark):
+        assert self._decide(spark, "https://d.com/page10") == \
+            (False, "https://d.com/")
+
+    def test_no_match_falls_back_to_default(self, spark):
+        assert self._decide(spark, "https://f.com/x") == (True, None)
+        out = apply_url_policy(_urls_df(spark, ["https://f.com/x"]),
+                               self.RULES, default_allow=False).collect()
+        assert (out[0].allowed, out[0].rule_prefix) == (False, None)
+
+    def test_policy_adds_no_exchange(self, spark):
+        """The decision is a scan-side projection: the rule list rides in
+        as a literal, so the operator's plan must contain no shuffle."""
+        df = apply_url_policy(_urls_df(spark, ["https://d.com/a"]),
+                              self.RULES)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestDuplicateSpanStats:
+    def test_shared_and_unique_spans(self, spark):
+        shared = "one two three four"  # n=4 spans with n=4 -> 1 span each
+        docs = spark.createDataFrame(
+            [(1, shared), (2, shared), (3, "five six seven eight")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               duplicate_span_stats(docs, n=4).collect()}
+        assert out[1].n_spans == 1 and out[1].n_shared == 1
+        assert out[1].shared_ppm == 1_000_000
+        assert out[3].n_shared == 0 and out[3].shared_ppm == 0
+
+    def test_short_docs_have_no_spans(self, spark):
+        docs = spark.createDataFrame([(1, "too short")],
+                                     "doc_id long, text string")
+        assert duplicate_span_stats(docs, n=4).count() == 0
+
+    def test_within_doc_repeats_count_once(self, spark):
+        """array_distinct: a span repeated inside ONE doc is not 'shared'."""
+        docs = spark.createDataFrame(
+            [(1, "a b c d a b c d"), (2, "x y z w")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               duplicate_span_stats(docs, n=4).collect()}
+        # doc 1 has 5 raw spans but 'a b c d' appears twice -> 4 distinct;
+        # none occur in doc 2
+        assert out[1].n_spans == 4
+        assert out[1].n_shared == 0
