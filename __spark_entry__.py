@@ -1481,6 +1481,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return duplicate_span_stats(_tok_docs(spark, sf_dir), n=8,
                                     words_col="words")
 
+    def doc_fuzzy_incremental(spark, sf_dir):
+        # FUZZY incremental crawl dedup: a new batch (exact recrawls +
+        # near-variant re-editions + genuinely fresh texts, synthesized
+        # deterministically from documents; same rule as the aux builder,
+        # see dataops_fixtures FUZZY_*) is near-dup-suppressed against
+        # the corpus via cross-side minhash banding -> exact 3-gram
+        # jaccard verify >= 0.5. Survivors keep their rows.
+        from logparse_rs_spark.dataops_fixtures import (
+            FUZZY_FRESH_OFFSET, FUZZY_FRESH_PREFIX, FUZZY_RECRAWL_OFFSET,
+            FUZZY_VARIANT_OFFSET, FUZZY_VARIANT_SUFFIX)
+        from logparse_rs_spark.operators.dedup import minhash_cross_dedup
+        d = _docs(spark, sf_dir)
+        mod = F.pmod(F.col("doc_id"), F.lit(10))
+        a = d.filter(mod == 0).select(
+            (F.col("doc_id") + FUZZY_RECRAWL_OFFSET).alias("doc_id"),
+            "text", "lang", "source")
+        b = d.filter(mod == 3).select(
+            (F.col("doc_id") + FUZZY_VARIANT_OFFSET).alias("doc_id"),
+            F.concat("text", F.lit(FUZZY_VARIANT_SUFFIX)).alias("text"),
+            "lang", "source")
+        c = d.filter(mod == 6).select(
+            (F.col("doc_id") + FUZZY_FRESH_OFFSET).alias("doc_id"),
+            F.concat(F.lit(FUZZY_FRESH_PREFIX),
+                     F.col("doc_id").cast("string")).alias("text"),
+            "lang", "source")
+        batch = a.unionByName(b).unionByName(c)
+        surv = minhash_cross_dedup(batch, d.select("doc_id", "text"),
+                                   threshold=0.5)
+        return surv.select("doc_id", "lang", "source")
+
     # ORDER MATTERS for the driver's correctness gate: it checks the
     # FIRST 50 entries (CORRECTNESS_r04 = exactly the first 50 of the r4
     # dict). Round 5 rotates the order so the 42 queries the r4 snapshot
@@ -1539,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_crawl_frontier": log_crawl_frontier,
         "log_url_policy": log_url_policy,
         "doc_duplicate_spans": doc_duplicate_spans,
+        "doc_fuzzy_incremental": doc_fuzzy_incremental,
         "log_route_counts": log_route_counts,
         "log_integrity_table": log_integrity_table,
         "doc_exact_dedup": doc_exact_dedup,
@@ -1605,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
     EMB_CELLS = f"read_parquet('{aux['emb_cells']}')"
     EMB_PROBES = f"read_parquet('{aux['emb_probes']}')"
     TOK_BUCKETS = f"read_parquet('{aux['tok_buckets']}')"
+    BATCH_AUX = f"read_parquet('{aux['batch_aux']}')"
     from logparse_rs_spark.dataops_fixtures import DSIR_N_BUCKETS
     # only the fields the sample anonymizer config actively transforms appear
     # in the integrity table (rule_name/source_user are NOT matched by the
@@ -2596,6 +2628,58 @@ def oracle_sql() -> dict[str, str]:
                (SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000)
                  // COUNT(*) AS shared_ppm
         FROM c GROUP BY doc_id
+    """
+    # fuzzy incremental dedup: batch synthesized by the SAME rule as the
+    # aux builder (FUZZY_* constants interpolated below); batch minhash
+    # sigs come from BATCH_AUX (same numpy kernel the Spark pandas UDF
+    # calls), band join mirrors doc_minhash_pairs, verify reuses the
+    # 3-gram jaccard CTE shape of doc_text_neardup_verified
+    from logparse_rs_spark.dataops_fixtures import (
+        FUZZY_FRESH_OFFSET as _FZF, FUZZY_FRESH_PREFIX as _FZFP,
+        FUZZY_RECRAWL_OFFSET as _FZR, FUZZY_VARIANT_OFFSET as _FZV,
+        FUZZY_VARIANT_SUFFIX as _FZVS)
+    d["doc_fuzzy_incremental"] = f"""
+        WITH nb AS (
+          SELECT doc_id + {_FZR} AS doc_id, text, lang, source
+          FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + {_FZV}, text || '{_FZVS}', lang, source
+          FROM documents WHERE doc_id % 10 = 3
+          UNION ALL
+          SELECT doc_id + {_FZF}, '{_FZFP}' || doc_id, lang, source
+          FROM documents WHERE doc_id % 10 = 6),
+        ba AS (SELECT doc_id, band, sig[band*4+1 : band*4+4] AS key
+               FROM {BATCH_AUX}
+               CROSS JOIN (SELECT unnest(range(16)) AS band)),
+        ca AS (SELECT doc_id, band, sig[band*4+1 : band*4+4] AS key
+               FROM {DOC_AUX}
+               CROSS JOIN (SELECT unnest(range(16)) AS band)),
+        cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+                 FROM ba l JOIN ca r
+                   ON l.band = r.band AND l.key = r.key),
+        alltx AS (SELECT doc_id, text FROM nb
+                  UNION ALL SELECT doc_id, text FROM documents),
+        n AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '{WSP}', ' ', 'g'))
+                       AS t
+              FROM alltx),
+        g AS (SELECT doc_id,
+                     CASE WHEN length(t) >= 3 THEN
+                       list_distinct(list_transform(
+                         range(1, length(t) - 1),
+                         i -> substr(t, i::int, 3)))
+                     ELSE [] END AS grams
+              FROM n),
+        j AS (SELECT c.id_a,
+                     len(list_intersect(a.grams, b.grams))
+                     / len(list_distinct(list_concat(a.grams, b.grams)))
+                       AS jac
+              FROM cand c
+              JOIN g a ON a.doc_id = c.id_a
+              JOIN g b ON b.doc_id = c.id_b),
+        dup AS (SELECT DISTINCT id_a FROM j WHERE jac >= 0.5)
+        SELECT doc_id, lang, source FROM nb
+        WHERE doc_id NOT IN (SELECT id_a FROM dup)
     """
     # composed text near-dup oracle: minhash banding CTE + exact 3-gram
     # jaccard verify, both already proven by their standalone oracles

@@ -28,7 +28,18 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any refimpl kernel or parameter below changes semantics
-_AUX_VERSION = 2
+_AUX_VERSION = 3
+
+# fuzzy-incremental batch synthesis (doc_fuzzy_incremental): the SAME rule
+# is spelled three times — Spark column exprs in __spark_entry__, oracle
+# SQL, and here — and the gate's value-hash compare is what pins them
+# together (a drift in any copy changes the signatures or the jaccard side
+# and the query goes red)
+FUZZY_RECRAWL_OFFSET = 1_000_000   # doc_id % 10 == 0 -> exact recrawl copy
+FUZZY_VARIANT_OFFSET = 2_000_000   # doc_id % 10 == 3 -> text + suffix
+FUZZY_FRESH_OFFSET = 3_000_000     # doc_id % 10 == 6 -> brand-new text
+FUZZY_VARIANT_SUFFIX = " updated edition appendix"
+FUZZY_FRESH_PREFIX = "fresh standalone page number "
 
 # parameters pinned to the __spark_entry__ query definitions
 MINHASH_NUM_PERM = 64
@@ -70,6 +81,7 @@ def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
         "emb_cells": os.path.join(out_dir, "emb_cells.parquet"),
         "emb_probes": os.path.join(out_dir, "emb_probes.parquet"),
         "tok_buckets": os.path.join(out_dir, "tok_buckets.parquet"),
+        "batch_aux": os.path.join(out_dir, "batch_aux.parquet"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -101,6 +113,27 @@ def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
         "fingerprint": pa.array(fnv.tolist(), pa.int64()),
     })
     _atomic_write(doc_tbl, paths["doc_aux"])
+
+    # ---- fuzzy-incremental batch: minhash sigs of the synthesized batch ----
+    batch_ids, batch_texts = [], []
+    for i, t in zip(doc_ids, texts):
+        m = i % 10
+        if m == 0:
+            batch_ids.append(i + FUZZY_RECRAWL_OFFSET)
+            batch_texts.append(t)
+        elif m == 3:
+            batch_ids.append(i + FUZZY_VARIANT_OFFSET)
+            batch_texts.append(t + FUZZY_VARIANT_SUFFIX)
+        elif m == 6:
+            batch_ids.append(i + FUZZY_FRESH_OFFSET)
+            batch_texts.append(FUZZY_FRESH_PREFIX + str(i))
+    batch_sigs = minhash_sig_batch(pd.Series(batch_texts),
+                                   MINHASH_NUM_PERM, MINHASH_SHINGLE_K)
+    _atomic_write(pa.table({
+        "doc_id": pa.array(batch_ids, pa.int64()),
+        "sig": pa.array([s.tolist() for s in batch_sigs],
+                        pa.list_(pa.int64())),
+    }), paths["batch_aux"])
 
     # ---- corpus vocabulary -> DSIR hash buckets ---------------------------
     # the Spark operator buckets tokens with fnv1a_col(token) % B on the

@@ -603,3 +603,62 @@ def duplicate_span_stats(docs: DataFrame, n: int = 8,
                  F.sum((F.col("_nd") >= 2).cast("long")).alias("n_shared"))
             .withColumn("shared_ppm",
                         F.expr("n_shared * 1000000 DIV n_spans")))
+
+
+def minhash_cross_candidates(sig_new: DataFrame, sig_corpus: DataFrame,
+                             id_col: str = "doc_id", bands: int = 16,
+                             num_perm: int = 64,
+                             max_bucket: Optional[int] = None) -> DataFrame:
+    """Candidate near-dup pairs BETWEEN two signature sets (batch vs
+    corpus) — the cross form of minhash_lsh_pairs: docs sharing >=1 LSH
+    band bucket across the two sides. Returns distinct (id_a from
+    sig_new, id_b from sig_corpus).
+
+    ``max_bucket`` caps the CORPUS-side bucket membership (the 10^12
+    side; a batch key joining an oversized corpus bucket is exactly the
+    blowup the cap exists for). Capped drops are visible through
+    lsh_bucket_stats on the corpus signatures."""
+    a = (_banded(sig_new, id_col, bands, num_perm)
+         .withColumnRenamed(id_col, "id_a"))
+    b = (_banded(sig_corpus, id_col, bands, num_perm)
+         .withColumnRenamed(id_col, "id_b"))
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        b = (b.withColumn("_bsz", F.count("*").over(w))
+             .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
+    return a.join(b, ["band", "bucket"]).select("id_a", "id_b").distinct()
+
+
+def minhash_cross_dedup(new_docs: DataFrame, corpus: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.5, num_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 5,
+                        max_bucket: Optional[int] = 1000) -> DataFrame:
+    """FUZZY incremental crawl dedup — the near-dup counterpart of
+    incremental_dedup: suppress new-batch docs whose text is a verified
+    near-duplicate (exact char-3-gram Jaccard >= threshold) of ANY corpus
+    doc; survivors pass through with all their columns. Ids must be
+    disjoint between the two sides (offset the batch ids).
+
+    Scale shape: both sides reduce to (id, 8-byte band bucket) keys
+    before the one cross-side shuffle — the corpus text is scanned once
+    for signatures and once more ONLY for the docs that appear in a
+    candidate pair (the verify joins are id-keyed semi-shapes). The
+    corpus signature table is reusable across increments: pass
+    ``minhash_signatures`` output persisted from the previous run as
+    ``corpus`` with a precomputed ``sig`` column — see
+    minhash_signatures/lsh docstrings. Within-batch near-dups are NOT
+    collapsed here (membership vs the corpus only); compose with
+    minhash_near_dup for batch-internal dedup."""
+    sig_a = minhash_signatures(new_docs, text_col, id_col,
+                               num_perm, shingle_k)
+    sig_b = minhash_signatures(corpus, text_col, id_col,
+                               num_perm, shingle_k)
+    cands = minhash_cross_candidates(sig_a, sig_b, id_col, bands,
+                                     num_perm, max_bucket)
+    both = (new_docs.select(id_col, text_col)
+            .unionByName(corpus.select(id_col, text_col)))
+    verified = ngram_jaccard_pairs_fast(both, cands, text_col, id_col, n=3)
+    dup_ids = (verified.filter(F.col("jaccard") >= threshold)
+               .select(F.col("id_a").alias(id_col)).distinct())
+    return new_docs.join(dup_ids, id_col, "left_anti")
