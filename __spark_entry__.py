@@ -1472,6 +1472,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("n_rule_hits"))
                 .orderBy("host"))
 
+    def log_url_policy_hosted(spark, sf_dir):
+        # the SAME policy decision through the at-scale path: rules as a
+        # TABLE, aggregated to one array row per host and broadcast-
+        # joined on host (the corpus never shuffles) — oracle identical
+        # to log_url_policy, proving the two forms row-equal.
+        from logparse_rs_spark.fixtures import DOMAINS
+        from logparse_rs_spark.operators.crawl import apply_url_policy_df
+        rules_df = spark.createDataFrame(_url_policy_rules(DOMAINS),
+                                         "prefix string, allow boolean")
+        pages_path, _ = _fixture_paths(sf_dir)
+        urls = spark.read.parquet(pages_path).select("url").distinct()
+        out = apply_url_policy_df(urls, rules_df, default_allow=True)
+        host = F.regexp_extract("url", "^https?://([^/]+)", 1)
+        return (out.groupBy(host.alias("host"))
+                .agg(F.count("*").alias("n_urls"),
+                     F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+                     F.sum(F.col("rule_prefix").isNotNull().cast("long"))
+                     .alias("n_rule_hits"))
+                .orderBy("host"))
+
     def doc_duplicate_spans(spark, sf_dir):
         # Lee-et-al-style duplicated-span exposure: per doc, how many of
         # its distinct 8-word spans occur in >=1 other doc (the
@@ -1568,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_assign": emb_kmeans_assign,
         "log_crawl_frontier": log_crawl_frontier,
         "log_url_policy": log_url_policy,
+        "log_url_policy_hosted": log_url_policy_hosted,
         "doc_duplicate_spans": doc_duplicate_spans,
         "doc_fuzzy_incremental": doc_fuzzy_incremental,
         "log_route_counts": log_route_counts,
@@ -2605,6 +2626,9 @@ def oracle_sql() -> dict[str, str]:
                    END)::BIGINT AS n_rule_hits
         FROM dec GROUP BY host ORDER BY host
     """
+    # the hosted (broadcast rules-table) path must produce the identical
+    # decision, so it shares the oracle verbatim
+    d["log_url_policy_hosted"] = d["log_url_policy"]
     # duplicated-span exposure: distinct 8-word spans per doc, span
     # shared iff >=2 docs carry it; same tokenizer class as the other
     # n-gram oracles, exact-integer ppm

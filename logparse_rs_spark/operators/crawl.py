@@ -107,3 +107,52 @@ def apply_url_policy(urls: DataFrame, rules: List[Tuple[str, bool]],
                                    F.lit(bool(default_allow))))
             .withColumn("rule_prefix", F.col("_best.prefix"))
             .drop("_best"))
+
+
+def apply_url_policy_df(urls: DataFrame, rules: DataFrame,
+                        default_allow: bool = True,
+                        url_col: str = "url") -> DataFrame:
+    """The at-scale form of :func:`apply_url_policy` for per-host rule
+    TABLES (robots.txt across the whole crawl, 10^6+ rules): ``rules`` is
+    a DataFrame (prefix STRING, allow BOOLEAN). Rules aggregate to ONE
+    array row per host (a tiny rules-side shuffle), broadcast, and
+    equi-join the corpus on host — the corpus itself never shuffles
+    (BroadcastHashJoin), and the longest-match decision then runs the
+    same codegen array logic as the literal form, so the two forms are
+    row-for-row identical on the same rule set.
+
+    Decision semantics are identical to apply_url_policy: longest
+    matching prefix wins, (length, allow) max tie-break, no match (or no
+    rules for the host) falls back to ``default_allow``. A rule whose
+    prefix carries no parseable host can never match a host-joined URL
+    and is dropped.
+
+    Sizing: broadcast payload is one row per distinct rule host; robots
+    rule sets are ~KBs per host, so ~10^5 hosts of rules fit a standard
+    8 GB broadcast ceiling comfortably — beyond that, bucket both sides
+    by host instead."""
+    def _host(c) -> F.Column:
+        return F.regexp_extract(c, HOST_PATTERN, 1)
+
+    per_host = (rules
+                .withColumn("_rhost", _host(F.col("prefix")))
+                .filter(F.col("_rhost") != "")
+                .groupBy("_rhost")
+                .agg(F.collect_list(
+                    F.struct(F.col("prefix"), F.col("allow"))
+                ).alias("_rules")))
+    j = (urls.withColumn("_uhost", _host(F.col(url_col)))
+         .join(F.broadcast(per_host),
+               F.col("_uhost") == F.col("_rhost"), "left"))
+    matched = F.filter(F.col("_rules"),
+                       lambda r: F.col(url_col).startswith(r["prefix"]))
+    best = F.array_max(F.transform(
+        matched, lambda r: F.struct(F.length(r["prefix"]).alias("l"),
+                                    r["allow"].alias("allow"),
+                                    r["prefix"].alias("prefix"))))
+    return (j.withColumn("_best", best)
+            .withColumn("allowed",
+                        F.coalesce(F.col("_best.allow"),
+                                   F.lit(bool(default_allow))))
+            .withColumn("rule_prefix", F.col("_best.prefix"))
+            .drop("_best", "_uhost", "_rhost", "_rules"))

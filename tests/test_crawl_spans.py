@@ -110,3 +110,49 @@ class TestDuplicateSpanStats:
         # none occur in doc 2
         assert out[1].n_spans == 4
         assert out[1].n_shared == 0
+
+
+class TestUrlPolicyHosted:
+    RULES = [("https://d.com/", False),
+             ("https://d.com/page0", True),
+             ("https://e.com/private/", False),
+             ("no-host-prefix", True)]
+
+    def _rules_df(self, spark):
+        from logparse_rs_spark.operators.crawl import apply_url_policy_df
+        return spark.createDataFrame(self.RULES,
+                                     "prefix string, allow boolean")
+
+    def test_row_equal_to_literal_form(self, spark):
+        from logparse_rs_spark.operators.crawl import (apply_url_policy,
+                                                       apply_url_policy_df)
+        urls = _urls_df(spark, [
+            "https://d.com/page01", "https://d.com/page10",
+            "https://e.com/private/x", "https://e.com/public/y",
+            "https://f.com/anything"])
+        lit_rules = [r for r in self.RULES if r[0].startswith("https://")]
+        a = sorted(map(tuple, apply_url_policy(
+            urls, lit_rules).collect()))
+        b = sorted(map(tuple, apply_url_policy_df(
+            urls, self._rules_df(spark)).collect()))
+        assert a == b
+
+    def test_hostless_rule_dropped(self, spark):
+        from logparse_rs_spark.operators.crawl import apply_url_policy_df
+        out = apply_url_policy_df(
+            _urls_df(spark, ["no-host-prefix-matchable"]),
+            self._rules_df(spark)).collect()
+        # the hostless rule can never match (url has no host either ->
+        # no join partner) so the default applies
+        assert (out[0].allowed, out[0].rule_prefix) == (True, None)
+
+    def test_corpus_side_never_shuffles(self, spark):
+        from logparse_rs_spark.operators.crawl import apply_url_policy_df
+        df = apply_url_policy_df(_urls_df(spark, ["https://d.com/a"]),
+                                 self._rules_df(spark))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the only Exchange is the tiny rules-side broadcast prep; the
+        # urls side reaches the join without a hash-partition exchange
+        assert "Exchange hashpartitioning" not in plan.split(
+            "BroadcastHashJoin")[0]
