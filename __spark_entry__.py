@@ -1501,6 +1501,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return duplicate_span_stats(_tok_docs(spark, sf_dir), n=8,
                                     words_col="words")
 
+    def doc_shard_assign(spark, sf_dir):
+        # token-balanced shard write-out: snake assignment over the
+        # (n_tokens desc, doc_id) order computed WITHOUT a global sort
+        # (histogram offset + equal-size window). Per-shard load rollup —
+        # the hash compare pins every doc's shard via the totals.
+        from logparse_rs_spark.operators.curate import shard_assign_balanced
+        d = _tok_docs(spark, sf_dir).withColumn(
+            "n_tokens", F.size("words").cast("long"))
+        s = shard_assign_balanced(d, n_shards=8)
+        return (s.groupBy("shard")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_tokens").alias("total_tokens"),
+                     F.min("rank").alias("first_rank"))
+                .orderBy("shard"))
+
     def doc_fuzzy_incremental(spark, sf_dir):
         # FUZZY incremental crawl dedup: a new batch (exact recrawls +
         # near-variant re-editions + genuinely fresh texts, synthesized
@@ -1590,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_url_policy": log_url_policy,
         "log_url_policy_hosted": log_url_policy_hosted,
         "doc_duplicate_spans": doc_duplicate_spans,
+        "doc_shard_assign": doc_shard_assign,
         "doc_fuzzy_incremental": doc_fuzzy_incremental,
         "log_route_counts": log_route_counts,
         "log_integrity_table": log_integrity_table,
@@ -2652,6 +2668,27 @@ def oracle_sql() -> dict[str, str]:
                (SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000)
                  // COUNT(*) AS shared_ppm
         FROM c GROUP BY doc_id
+    """
+    # balanced shard write-out: the oracle affords the global row_number
+    # at test scale; the Spark side must reproduce the SAME rank through
+    # its histogram decomposition
+    d["doc_shard_assign"] = f"""
+        WITH t AS (SELECT doc_id,
+                          len(list_filter(string_split_regex(lower(text),
+                                                             '{WSP}'),
+                                          x -> x <> ''))::BIGINT AS n_tokens
+                   FROM documents),
+        r AS (SELECT doc_id, n_tokens,
+                     ROW_NUMBER() OVER (ORDER BY n_tokens DESC,
+                                        doc_id ASC) - 1 AS rank
+              FROM t),
+        s AS (SELECT *, CASE WHEN (rank // 8) % 2 = 0 THEN rank % 8
+                             ELSE 7 - (rank % 8) END AS shard
+              FROM r)
+        SELECT shard, COUNT(*) AS n_docs,
+               SUM(n_tokens)::BIGINT AS total_tokens,
+               MIN(rank) AS first_rank
+        FROM s GROUP BY shard ORDER BY shard
     """
     # fuzzy incremental dedup: batch synthesized by the SAME rule as the
     # aux builder (FUZZY_* constants interpolated below); batch minhash

@@ -407,3 +407,56 @@ def attrition_funnel(stages: Sequence, text_col: str = "text") -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def shard_assign_balanced(docs: DataFrame, n_shards: int = 8,
+                          size_col: str = "n_tokens",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Token-balanced training-shard assignment WITHOUT a global sort —
+    the write-out step of a curation pipeline: spread documents over
+    ``n_shards`` output shards so every shard carries a near-equal token
+    load (greedy snake/boustrophedon over the size-descending order, the
+    classic LPT-style heuristic: shard loads differ by at most one
+    document's tokens per round).
+
+    The global rank a snake assignment needs is a TOTAL-ORDER statistic;
+    computing it with one row_number window would single-partition the
+    corpus. Instead it decomposes exactly (same trick as
+    exact_quantile_bins):
+
+        rank(doc) = #docs with a LARGER size   (histogram cumsum — the
+                    window input is distinct-size-sized, not corpus-sized)
+                  + row_number among EQUAL sizes ordered by id
+                    (a size-keyed window: one corpus shuffle on the size
+                    value, which the equi-join on size reuses)
+
+    so the corpus is shuffled ONCE (on size) and the only single-partition
+    window runs over the size histogram. A degenerate size distribution
+    (10^9 docs of one exact size) concentrates that one window partition —
+    salt the equal-size rank by id-hash buckets and offset per bucket if
+    a corpus is that pathological.
+
+    Returns the input columns + (rank BIGINT, shard BIGINT); rank is the
+    0-based global (size desc, id asc) position — deterministic, both
+    engines."""
+    hist = (docs.groupBy(F.col(size_col).cast("long").alias("_sz"))
+            .agg(F.count("*").alias("_cnt")))
+    # cumulative count of STRICTLY larger sizes; histogram-sized input
+    # (constant partition key: intent-explicit, see exact_quantile_bins)
+    from pyspark.sql import Window
+    wh = (Window.partitionBy(F.lit(0)).orderBy(F.desc("_sz"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = hist.select(
+        "_sz", F.coalesce(F.sum("_cnt").over(wh), F.lit(0)).alias("_off"))
+    we = Window.partitionBy("_sz").orderBy(id_col)
+    ranked = (docs.withColumn("_sz", F.col(size_col).cast("long"))
+              .join(off, "_sz")
+              .withColumn("rank", (F.col("_off")
+                                   + F.row_number().over(we) - 1)
+                          .cast("bigint"))
+              .drop("_off", "_sz"))
+    pos = F.pmod(F.col("rank"), F.lit(n_shards))
+    return ranked.withColumn(
+        "shard",
+        F.when(F.pmod(F.expr(f"rank DIV {n_shards}"), F.lit(2)) == 0, pos)
+        .otherwise(F.lit(n_shards - 1) - pos).cast("bigint"))

@@ -156,3 +156,42 @@ class TestUrlPolicyHosted:
         # urls side reaches the join without a hash-partition exchange
         assert "Exchange hashpartitioning" not in plan.split(
             "BroadcastHashJoin")[0]
+
+
+class TestShardAssignBalanced:
+    def _docs(self, spark, sizes):
+        return spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sizes)],
+            "doc_id long, n_tokens long")
+
+    def test_rank_and_snake_match_reference(self, spark):
+        from logparse_rs_spark.operators.curate import shard_assign_balanced
+        sizes = [5, 9, 9, 1, 7, 7, 7, 3, 2, 8]
+        out = {r.doc_id: (r.rank, r.shard) for r in
+               shard_assign_balanced(self._docs(spark, sizes),
+                                     n_shards=3).collect()}
+        # reference: global (size desc, id asc) order + snake
+        order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+        for rank, doc in enumerate(order):
+            rnd, pos = divmod(rank, 3)
+            shard = pos if rnd % 2 == 0 else 2 - pos
+            assert out[doc] == (rank, shard), doc
+
+    def test_token_balance(self, spark):
+        from logparse_rs_spark.operators.curate import shard_assign_balanced
+        sizes = list(range(1, 101))
+        out = shard_assign_balanced(self._docs(spark, sizes), n_shards=4)
+        loads = {r.shard: r.load for r in
+                 out.groupBy("shard")
+                 .agg(F.sum("n_tokens").alias("load")).collect()}
+        # snake over a uniform ramp balances to within one round's spread
+        assert max(loads.values()) - min(loads.values()) <= 8
+
+    def test_corpus_window_is_size_partitioned(self, spark):
+        """The only single-partition window runs over the size HISTOGRAM;
+        the corpus-sized row_number window must be partitioned by the
+        size key (fails if someone 'simplifies' to one global window)."""
+        from logparse_rs_spark.operators.curate import shard_assign_balanced
+        df = shard_assign_balanced(self._docs(spark, [1, 2, 3]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "row_number() windowspecdefinition(_sz" in plan
