@@ -1501,6 +1501,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return duplicate_span_stats(_tok_docs(spark, sf_dir), n=8,
                                     words_col="words")
 
+    def log_crawl_delta(spark, sf_dir):
+        # snapshot-over-snapshot crawl delta: two snapshots derived from
+        # the pages fixture by page number (old misses pagenum%4==0, new
+        # misses %4==1 and re-edits %4==2), so added/removed/changed/
+        # unchanged are all non-trivially populated. Per-(host, status)
+        # counts — the freshness report recrawl scheduling reads.
+        from logparse_rs_spark.operators.crawl import crawl_delta
+        pages_path, _ = _fixture_paths(sf_dir)
+        pages = spark.read.parquet(pages_path).select("url", "text")
+        pn = F.pmod(F.regexp_extract("url", "([0-9]{6})$", 1).cast("long"),
+                    F.lit(4))
+        old = pages.filter(pn != 0)
+        new = (pages.filter(pn != 1)
+               .withColumn("text",
+                           F.when(pn == 2,
+                                  F.concat("text", F.lit(" rev2")))
+                           .otherwise(F.col("text"))))
+        d = crawl_delta(old, new)
+        return (d.groupBy("host", "status")
+                .agg(F.count("*").alias("n_urls"))
+                .orderBy("host", "status"))
+
+    def doc_train_eval_split(spark, sf_dir):
+        # deterministic held-out split: eval iff the portable 60-bit md5
+        # hash of the doc id lands in the first 10% of the residue space
+        # — reproducible on any engine, no RNG, stable under corpus
+        # growth. Per-(lang, split) doc + token accounting (the
+        # stratification report a split step must emit).
+        from logparse_rs_spark.operators.crawl import host_hash60
+        from logparse_rs_spark.operators.text import _words
+        d = _docs(spark, sf_dir)
+        split = F.when(
+            F.pmod(host_hash60(F.col("doc_id").cast("string")),
+                   F.lit(100)) < 10,
+            F.lit("eval")).otherwise(F.lit("train"))
+        return (d.select("lang", split.alias("split"),
+                         F.size(_words(F.col("text"))).cast("long")
+                         .alias("n_tokens"))
+                .groupBy("lang", "split")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_tokens").alias("total_tokens"))
+                .orderBy("lang", "split"))
+
     def doc_shard_assign(spark, sf_dir):
         # token-balanced shard write-out: snake assignment over the
         # (n_tokens desc, doc_id) order computed WITHOUT a global sort
@@ -1606,6 +1649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_url_policy_hosted": log_url_policy_hosted,
         "doc_duplicate_spans": doc_duplicate_spans,
         "doc_shard_assign": doc_shard_assign,
+        "log_crawl_delta": log_crawl_delta,
+        "doc_train_eval_split": doc_train_eval_split,
         "doc_fuzzy_incremental": doc_fuzzy_incremental,
         "log_route_counts": log_route_counts,
         "log_integrity_table": log_integrity_table,
@@ -2668,6 +2713,47 @@ def oracle_sql() -> dict[str, str]:
                (SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1000000)
                  // COUNT(*) AS shared_ppm
         FROM c GROUP BY doc_id
+    """
+    # crawl snapshot delta: same derivation rule, md5-60bit content hash
+    # compare on both engines (the operator's scale contract — bodies
+    # never shuffle)
+    d["log_crawl_delta"] = f"""
+        WITH p AS (SELECT url, text,
+                          CAST(regexp_extract(url, '([0-9]{{6}})$', 1)
+                               AS BIGINT) % 4 AS pn
+                   FROM read_parquet('{pages_path}')),
+        o AS (SELECT url, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+              FROM p WHERE pn <> 0),
+        n AS (SELECT url, ('0x' || substr(md5(CASE WHEN pn = 2
+                              THEN text || ' rev2' ELSE text END),
+                           1, 15))::BIGINT AS h
+              FROM p WHERE pn <> 1),
+        j AS (SELECT COALESCE(o.url, n.url) AS url, o.h AS oh, n.h AS nh
+              FROM o FULL OUTER JOIN n ON o.url = n.url),
+        s AS (SELECT url, CASE WHEN oh IS NULL THEN 'added'
+                               WHEN nh IS NULL THEN 'removed'
+                               WHEN oh <> nh THEN 'changed'
+                               ELSE 'unchanged' END AS status
+              FROM j)
+        SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               status, COUNT(*) AS n_urls
+        FROM s GROUP BY host, status ORDER BY host, status
+    """
+    # deterministic held-out split: portable md5-60bit residue on the
+    # stringified doc id, 10% eval
+    d["doc_train_eval_split"] = f"""
+        WITH t AS (SELECT lang,
+                          CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),
+                                     1, 15))::BIGINT % 100 < 10
+                               THEN 'eval' ELSE 'train' END AS split,
+                          len(list_filter(string_split_regex(lower(text),
+                                                             '{WSP}'),
+                                          x -> x <> ''))::BIGINT
+                            AS n_tokens
+                   FROM documents)
+        SELECT lang, split, COUNT(*) AS n_docs,
+               SUM(n_tokens)::BIGINT AS total_tokens
+        FROM t GROUP BY lang, split ORDER BY lang, split
     """
     # balanced shard write-out: the oracle affords the global row_number
     # at test scale; the Spark side must reproduce the SAME rank through

@@ -156,3 +156,34 @@ def apply_url_policy_df(urls: DataFrame, rules: DataFrame,
                                    F.lit(bool(default_allow))))
             .withColumn("rule_prefix", F.col("_best.prefix"))
             .drop("_best", "_uhost", "_rhost", "_rules"))
+
+
+def crawl_delta(old_pages: DataFrame, new_pages: DataFrame,
+                url_col: str = "url",
+                content_col: str = "text") -> DataFrame:
+    """Snapshot-over-snapshot crawl delta: per URL, whether it was
+    ``added``, ``removed``, ``changed`` or ``unchanged`` between two crawl
+    snapshots — the freshness/volatility report that drives recrawl
+    scheduling (hosts that churn get revisited sooner).
+
+    Scale shape: both snapshots reduce scan-side to (url, 60-bit content
+    hash) before the one url-keyed full-outer shuffle — page bodies never
+    enter the exchange, and the hash (md5 prefix, engine-portable — see
+    host_hash60) makes 'changed' a fixed-width compare. A same-hash
+    different-content collision (~2^-60 per pair) counts as unchanged;
+    at recrawl-scheduling stakes that is the correct trade.
+
+    Returns (url, host, status STRING)."""
+    o = old_pages.select(F.col(url_col).alias("url"),
+                         host_hash60(F.col(content_col)).alias("_oh"))
+    n = new_pages.select(F.col(url_col).alias("url"),
+                         host_hash60(F.col(content_col)).alias("_nh"))
+    j = o.join(n, "url", "full_outer")
+    status = (F.when(F.col("_oh").isNull(), F.lit("added"))
+              .when(F.col("_nh").isNull(), F.lit("removed"))
+              .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return j.select(
+        "url",
+        F.regexp_extract(F.col("url"), HOST_PATTERN, 1).alias("host"),
+        status.alias("status"))

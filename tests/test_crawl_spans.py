@@ -195,3 +195,57 @@ class TestShardAssignBalanced:
         df = shard_assign_balanced(self._docs(spark, [1, 2, 3]))
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "row_number() windowspecdefinition(_sz" in plan
+
+
+class TestCrawlDelta:
+    def test_all_four_statuses(self, spark):
+        from logparse_rs_spark.operators.crawl import crawl_delta
+        old = spark.createDataFrame(
+            [("https://a.com/1", "same"), ("https://a.com/2", "v1"),
+             ("https://a.com/3", "gone")], "url string, text string")
+        new = spark.createDataFrame(
+            [("https://a.com/1", "same"), ("https://a.com/2", "v2"),
+             ("https://a.com/4", "fresh")], "url string, text string")
+        out = {r.url: r.status for r in crawl_delta(old, new).collect()}
+        assert out == {"https://a.com/1": "unchanged",
+                       "https://a.com/2": "changed",
+                       "https://a.com/3": "removed",
+                       "https://a.com/4": "added"}
+        host = crawl_delta(old, new).select("host").distinct().collect()
+        assert [r.host for r in host] == ["a.com"]
+
+    def test_bodies_never_enter_the_join(self, spark):
+        """Scale contract: both sides reduce to (url, 60-bit hash) before
+        the full-outer shuffle — the text column must not appear in the
+        join operator's output attributes."""
+        from logparse_rs_spark.operators.crawl import crawl_delta
+        old = spark.createDataFrame([("https://a.com/1", "x" * 10)],
+                                    "url string, text string")
+        df = crawl_delta(old, old)
+        lines = (df._jdf.queryExecution().executedPlan().toString()
+                 .splitlines())
+        # every hash projection over text sits BELOW (= child of) an
+        # Exchange in the printed tree: the body is reduced to 60 bits
+        # before the shuffle on both sides
+        md5_lines = [i for i, ln in enumerate(lines) if "md5" in ln]
+        exch_lines = [i for i, ln in enumerate(lines)
+                      if "Exchange hashpartitioning(url" in ln]
+        assert len(md5_lines) == 2 and len(exch_lines) == 2
+        assert all(any(e < m for e in exch_lines) for m in md5_lines)
+        # and the join's own attribute list carries no text column
+        join_line = next(ln for ln in lines if "FullOuter" in ln)
+        assert "text" not in join_line
+
+
+class TestTrainEvalSplit:
+    def test_split_deterministic_and_near_ten_percent(self, spark):
+        from logparse_rs_spark.operators.crawl import host_hash60
+        ids = spark.range(0, 1000).select(
+            F.col("id").cast("string").alias("k"))
+        flags = ids.select(
+            (F.pmod(host_hash60(F.col("k")), F.lit(100)) < 10)
+            .alias("is_eval"))
+        n1 = flags.filter("is_eval").count()
+        n2 = flags.filter("is_eval").count()
+        assert n1 == n2            # pure function of the id
+        assert 60 <= n1 <= 140     # ~10% of 1000, md5-uniform
