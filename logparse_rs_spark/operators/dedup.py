@@ -633,7 +633,9 @@ def minhash_cross_dedup(new_docs: DataFrame, corpus: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         threshold: float = 0.5, num_perm: int = 64,
                         bands: int = 16, shingle_k: int = 5,
-                        max_bucket: Optional[int] = 1000) -> DataFrame:
+                        max_bucket: Optional[int] = 1000,
+                        corpus_sigs: Optional[DataFrame] = None
+                        ) -> DataFrame:
     """FUZZY incremental crawl dedup — the near-dup counterpart of
     incremental_dedup: suppress new-batch docs whose text is a verified
     near-duplicate (exact char-3-gram Jaccard >= threshold) of ANY corpus
@@ -644,16 +646,17 @@ def minhash_cross_dedup(new_docs: DataFrame, corpus: DataFrame,
     before the one cross-side shuffle — the corpus text is scanned once
     for signatures and once more ONLY for the docs that appear in a
     candidate pair (the verify joins are id-keyed semi-shapes). The
-    corpus signature table is reusable across increments: pass
-    ``minhash_signatures`` output persisted from the previous run as
-    ``corpus`` with a precomputed ``sig`` column — see
-    minhash_signatures/lsh docstrings. Within-batch near-dups are NOT
-    collapsed here (membership vs the corpus only); compose with
-    minhash_near_dup for batch-internal dedup."""
+    corpus signature table is reusable across increments: pass the
+    persisted ``minhash_signatures`` output from the previous run as
+    ``corpus_sigs`` and the corpus text is scanned ONLY for verify-stage
+    candidates. Within-batch near-dups are NOT collapsed here (membership
+    vs the corpus only); compose with minhash_near_dup for batch-internal
+    dedup."""
     sig_a = minhash_signatures(new_docs, text_col, id_col,
                                num_perm, shingle_k)
-    sig_b = minhash_signatures(corpus, text_col, id_col,
-                               num_perm, shingle_k)
+    sig_b = (corpus_sigs if corpus_sigs is not None
+             else minhash_signatures(corpus, text_col, id_col,
+                                     num_perm, shingle_k))
     cands = minhash_cross_candidates(sig_a, sig_b, id_col, bands,
                                      num_perm, max_bucket)
     both = (new_docs.select(id_col, text_col)

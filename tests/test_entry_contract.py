@@ -24,19 +24,26 @@ def test_every_query_has_an_oracle():
     assert missing == [], f"queries without oracle SQL: {missing}"
 
 
-def test_first_50_cover_the_r4_unchecked_set():
-    """Cumulative driver coverage: the 42 queries CORRECTNESS_r04 never
-    checked must sit inside the first 50 slots (the driver's snapshot
-    size), events_running_total first (r3 verdict's one red cell)."""
+def test_never_checked_queries_form_the_dict_prefix():
+    """Cumulative driver coverage: every query CORRECTNESS_r04 never
+    checked (the 44 r4-era rotations + the r5 additions) must form a
+    CONTIGUOUS PREFIX of the dict, events_running_total first (r3
+    verdict's one red cell), so whatever prefix the driver snapshots
+    maximizes never-checked coverage. There are now more never-checked
+    queries than the driver's historical 50-slot snapshot; the two
+    entries that spill to 51-52 are chosen lowest-marginal-risk (see the
+    dict comment in __spark_entry__)."""
     import json
     qs = list(entrymod.queries())
     assert qs[0] == "events_running_total"
     r4_path = os.path.join(ROOT, "CORRECTNESS_r04.json")
     checked_r4 = set(json.load(open(r4_path)))
     unchecked = [q for q in qs if q not in checked_r4]
-    first50 = set(qs[:50])
-    assert all(q in first50 for q in unchecked), (
-        "r4-unchecked queries must be in the driver-visible first 50")
+    assert set(qs[:len(unchecked)]) == set(unchecked), (
+        "never-checked queries must form the dict prefix")
+    spilled = [q for q in unchecked if q not in set(qs[:50])]
+    assert spilled == ["doc_train_eval_split", "log_url_policy_hosted"], (
+        "only the two designated low-risk queries may sit past slot 50")
 
 
 def test_oracle_keys_match_query_keys():

@@ -76,3 +76,23 @@ class TestCrossCandidates:
         pairs = minhash_cross_candidates(sig_a, sig_b).collect()
         assert all(r.id_a >= 1000 and r.id_b < 1000 for r in pairs)
         assert {r.id_a for r in pairs} == {1000, 1001}
+
+
+class TestCorpusSigsInjection:
+    def test_precomputed_sigs_give_identical_answer(self, spark, corpus):
+        """The persisted-signature-table path (the cross-increment reuse
+        contract) must answer exactly like the recompute path."""
+        batch = _docs(spark, [
+            (1000, f"{BASE} corpus variant 3", "copy"),
+            (1001, "totally unrelated fresh content here", "fresh"),
+        ])
+        sigs = minhash_signatures(corpus).persist()
+        try:
+            a = sorted(r.doc_id for r in
+                       minhash_cross_dedup(batch, corpus).collect())
+            b = sorted(r.doc_id for r in
+                       minhash_cross_dedup(batch, corpus,
+                                           corpus_sigs=sigs).collect())
+            assert a == b == [1001]
+        finally:
+            sigs.unpersist(blocking=False)
