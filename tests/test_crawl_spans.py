@@ -249,3 +249,63 @@ class TestTrainEvalSplit:
         n2 = flags.filter("is_eval").count()
         assert n1 == n2            # pure function of the id
         assert 60 <= n1 <= 140     # ~10% of 1000, md5-uniform
+
+
+class TestParseRobots:
+    BODY = "\n".join([
+        "# comment only",
+        "User-agent: fetchbot",
+        "Disallow: /fetchbot-only/",
+        "",
+        "User-agent: legacybot",
+        "User-agent: *",
+        "disallow: /private/   # trailing comment",
+        "ALLOW: /private/pub",
+        "Disallow:",
+        "",
+        "User-agent: *",
+        "Disallow: /tmp/",
+    ])
+
+    def _rules(self, spark, body=None):
+        from logparse_rs_spark.operators.crawl import parse_robots
+        df = spark.createDataFrame([("h.com", body or self.BODY)],
+                                   "host string, body string")
+        return parse_robots(df).collect()
+
+    def test_star_groups_only_with_all_branches(self, spark):
+        got = sorted((r.prefix, r.allow) for r in self._rules(spark))
+        # fetchbot-only group dropped; consecutive UA lines extend the
+        # star group; fields case-insensitive; comments stripped; empty
+        # Disallow ignored; the second star group contributes too
+        assert got == [("https://h.com/private/", False),
+                       ("https://h.com/private/pub", True),
+                       ("https://h.com/tmp/", False)]
+
+    def test_rules_before_any_group_are_dropped(self, spark):
+        got = self._rules(spark, "Disallow: /early/\nUser-agent: *\n"
+                                 "Disallow: /ok/")
+        assert [(r.prefix, r.allow) for r in got] == \
+            [("https://h.com/ok/", False)]
+
+    def test_ordinals_are_source_line_numbers(self, spark):
+        got = {r.prefix: r.ordinal for r in self._rules(spark)}
+        assert got["https://h.com/private/"] == 7
+        assert got["https://h.com/tmp/"] == 12
+
+    def test_composes_with_policy_apply(self, spark):
+        from logparse_rs_spark.operators.crawl import (apply_url_policy_df,
+                                                       parse_robots)
+        robots = spark.createDataFrame([("h.com", self.BODY)],
+                                       "host string, body string")
+        rules = parse_robots(robots).select("prefix", "allow")
+        urls = _urls_df(spark, ["https://h.com/private/x",
+                                "https://h.com/private/pub/y",
+                                "https://h.com/fetchbot-only/z",
+                                "https://h.com/open"])
+        out = {r.url: r.allowed
+               for r in apply_url_policy_df(urls, rules).collect()}
+        assert out == {"https://h.com/private/x": False,
+                       "https://h.com/private/pub/y": True,
+                       "https://h.com/fetchbot-only/z": True,
+                       "https://h.com/open": True}
