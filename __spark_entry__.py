@@ -1585,6 +1585,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    "host string, body string")
         return parse_robots(df).orderBy("host", "ordinal")
 
+    def log_frontier_recrawl(spark, sf_dir):
+        # operator COMPOSITION: crawl_delta drives frontier priority —
+        # changed (3) / added (2) pages fetch before unchanged (1) within
+        # each host, removed pages never enter the frontier. The weighted
+        # round checksum pins the per-host priority order.
+        from logparse_rs_spark.operators.crawl import (crawl_delta,
+                                                       frontier_schedule)
+        pages_path, _ = _fixture_paths(sf_dir)
+        pages = spark.read.parquet(pages_path).select("url", "text")
+        pn = F.pmod(F.regexp_extract("url", "([0-9]{6})$", 1).cast("long"),
+                    F.lit(4))
+        old = pages.filter(pn != 0)
+        new = (pages.filter(pn != 1)
+               .withColumn("text",
+                           F.when(pn == 2,
+                                  F.concat("text", F.lit(" rev2")))
+                           .otherwise(F.col("text"))))
+        delta = (crawl_delta(old, new)
+                 .filter(F.col("status") != "removed")
+                 .withColumn("prio",
+                             F.when(F.col("status") == "changed", 3)
+                             .when(F.col("status") == "added", 2)
+                             .otherwise(1).cast("long")))
+        sched = frontier_schedule(delta, n_workers=8, priority_col="prio")
+        return (sched.join(delta.select("url", "prio"), "url")
+                .groupBy("worker")
+                .agg(F.count("*").alias("n_urls"),
+                     (F.max("fetch_round") + 1).alias("makespan"),
+                     F.sum(F.col("fetch_round") * F.col("prio"))
+                     .alias("weighted_rounds"))
+                .orderBy("worker"))
+
     def doc_train_eval_split(spark, sf_dir):
         # deterministic held-out split: eval iff the portable 60-bit md5
         # hash of the doc id lands in the first 10% of the residue space
@@ -1713,12 +1745,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_robots_rules": log_robots_rules,
         "log_crawl_frontier": log_crawl_frontier,
         "log_url_policy": log_url_policy,
-        # the four lowest-marginal-risk r5 queries sit at slots 51-54: if
-        # the driver still snapshots only 50, what it skips is a rank
+        # the five lowest-marginal-risk r5 queries sit at slots 51-55: if
+        # the driver still snapshots only 50, what it skips is a
+        # composition of two pieces checked/pinned on their own
+        # (recrawl frontier = delta + prioritized frontier), a rank
         # rollup whose decomposition is pytest-pinned, a plain
         # full-outer-join status rollup, a two-column residue-split
         # rollup, and a query whose oracle is shared verbatim with a
         # checked one (hosted policy == log_url_policy)
+        "log_frontier_recrawl": log_frontier_recrawl,
         "doc_shard_assign": doc_shard_assign,
         "log_crawl_delta": log_crawl_delta,
         "doc_train_eval_split": doc_train_eval_split,
@@ -2787,12 +2822,13 @@ def oracle_sql() -> dict[str, str]:
     """
     # crawl snapshot delta: same derivation rule, md5-60bit content hash
     # compare on both engines (the operator's scale contract — bodies
-    # never shuffle)
-    d["log_crawl_delta"] = f"""
-        WITH p AS (SELECT url, text,
-                          CAST(regexp_extract(url, '([0-9]{{6}})$', 1)
-                               AS BIGINT) % 4 AS pn
-                   FROM read_parquet('{pages_path}')),
+    # never shuffle). The CTE chain is shared with the prioritized
+    # frontier oracle below.
+    _delta_cte = f"""
+        p AS (SELECT url, text,
+                     CAST(regexp_extract(url, '([0-9]{{6}})$', 1)
+                          AS BIGINT) % 4 AS pn
+              FROM read_parquet('{pages_path}')),
         o AS (SELECT url, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
               FROM p WHERE pn <> 0),
         n AS (SELECT url, ('0x' || substr(md5(CASE WHEN pn = 2
@@ -2805,10 +2841,35 @@ def oracle_sql() -> dict[str, str]:
                                WHEN nh IS NULL THEN 'removed'
                                WHEN oh <> nh THEN 'changed'
                                ELSE 'unchanged' END AS status
-              FROM j)
+              FROM j)"""
+    d["log_crawl_delta"] = f"""
+        WITH {_delta_cte}
         SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
                status, COUNT(*) AS n_urls
         FROM s GROUP BY host, status ORDER BY host, status
+    """
+    # delta-prioritized frontier: recrawl scheduling where changed/added
+    # pages fetch before unchanged ones within each host; the weighted
+    # round checksum pins the per-host priority ORDER, not just counts
+    d["log_frontier_recrawl"] = f"""
+        WITH {_delta_cte},
+        pr AS (SELECT url, CASE status WHEN 'changed' THEN 3
+                                       WHEN 'added' THEN 2
+                                       ELSE 1 END AS prio
+               FROM s WHERE status <> 'removed'),
+        h AS (SELECT url, prio,
+                     regexp_extract(url, '^https?://([^/]+)', 1) AS host
+              FROM pr),
+        sc AS (SELECT url, host, prio,
+                      CAST(('0x' || substr(md5(host), 1, 15))::BIGINT % 8
+                           AS INTEGER) AS worker,
+                      ROW_NUMBER() OVER (PARTITION BY host
+                        ORDER BY prio DESC, url ASC) - 1 AS fetch_round
+               FROM h WHERE host <> '')
+        SELECT worker, COUNT(*) AS n_urls,
+               MAX(fetch_round) + 1 AS makespan,
+               SUM(fetch_round * prio)::BIGINT AS weighted_rounds
+        FROM sc GROUP BY worker ORDER BY worker
     """
     # deterministic held-out split: portable md5-60bit residue on the
     # stringified doc id, 10% eval

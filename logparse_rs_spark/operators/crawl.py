@@ -44,7 +44,8 @@ def host_hash60(col) -> F.Column:
 
 
 def frontier_schedule(urls: DataFrame, n_workers: int = 8,
-                      url_col: str = "url") -> DataFrame:
+                      url_col: str = "url",
+                      priority_col: str | None = None) -> DataFrame:
     """Assign every frontier URL a (worker, fetch_round) slot under
     per-host politeness: a host's URLs are fetched one per round, in
     deterministic URL order, and a host is pinned to one worker (so
@@ -53,7 +54,11 @@ def frontier_schedule(urls: DataFrame, n_workers: int = 8,
 
     Returns (url, host, worker INT, fetch_round BIGINT); fetch_round is
     0-based within the host. URLs with no parseable host are dropped
-    (they cannot be scheduled politely).
+    (they cannot be scheduled politely). ``priority_col`` (BIGINT,
+    higher first) reorders WITHIN each host — e.g. recrawl-delta status
+    mapped to an integer so changed/added pages fetch before unchanged
+    ones — with the URL as the deterministic tie-break; it cannot (and
+    should not) bend the one-per-host-per-round politeness invariant.
 
     Plan: host extraction scan-side -> ONE shuffle on host for the
     row_number window (required by the semantics: the per-host fetch
@@ -64,9 +69,13 @@ def frontier_schedule(urls: DataFrame, n_workers: int = 8,
     counter, so a 10^8-URL host streams through a single task without
     materializing the host's rows."""
     host = F.regexp_extract(F.col(url_col), HOST_PATTERN, 1)
-    t = (urls.select(F.col(url_col).alias("url"), host.alias("host"))
-         .filter(F.col("host") != ""))
-    w = Window.partitionBy("host").orderBy("url")
+    cols = [F.col(url_col).alias("url"), host.alias("host")]
+    if priority_col:
+        cols.append(F.col(priority_col).alias("_prio"))
+    t = urls.select(*cols).filter(F.col("host") != "")
+    order = ([F.desc("_prio"), F.asc("url")] if priority_col
+             else [F.asc("url")])
+    w = Window.partitionBy("host").orderBy(*order)
     return t.select(
         "url", "host",
         F.pmod(host_hash60(F.col("host")), F.lit(n_workers))

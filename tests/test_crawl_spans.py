@@ -343,3 +343,19 @@ class TestRemoveDuplicateSpans:
         t = "a b c d e"   # spans 'a b c d' and 'b c d e' both shared
         out = self._run(spark, [(1, t), (2, t)])
         assert out[1].n_removed == 5   # union of covered indices, not 8
+
+
+class TestFrontierPriority:
+    def test_priority_reorders_within_host_only(self, spark):
+        rows = [("https://a.com/low1", 1), ("https://a.com/hi", 5),
+                ("https://a.com/low2", 1), ("https://b.com/x", 9)]
+        df = spark.createDataFrame(rows, "url string, prio long")
+        out = {r.url: r.fetch_round for r in
+               frontier_schedule(df, n_workers=4,
+                                 priority_col="prio").collect()}
+        # high-priority url fetches first within its host; ties break by
+        # url; the other host is unaffected
+        assert out["https://a.com/hi"] == 0
+        assert out["https://a.com/low1"] == 1
+        assert out["https://a.com/low2"] == 2
+        assert out["https://b.com/x"] == 0
