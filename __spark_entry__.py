@@ -113,6 +113,21 @@ def _robots_fixture(domains) -> list:
     return rows
 
 
+def _robots_probe_urls(domains) -> list:
+    """Probe URLs for the robots end-to-end composition, shared by the
+    Spark query and the oracle: per host one neutral page, one path under
+    the host's Disallow prefix, one under the longer Allow override, and
+    one under the conditional second-group Disallow — so every decision
+    branch fires with host-varying outcomes."""
+    urls = []
+    for i, d in enumerate(domains):
+        urls.append(f"https://{d}/page000001")
+        urls.append(f"https://{d}/private{i % 5}/doc")
+        urls.append(f"https://{d}/private{i % 5}/public/doc")
+        urls.append(f"https://{d}/tmp{i % 7}/cache")
+    return urls
+
+
 def _load(spark_or_none=None):
     from logparse_rs_spark.anonymizer import load_anonymizer
     from logparse_rs_spark.schema import load_schema
@@ -1617,6 +1632,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      .alias("weighted_rounds"))
                 .orderBy("worker"))
 
+    def log_robots_applied(spark, sf_dir):
+        # the full crawl-policy pipeline end to end: robots bodies ->
+        # parse_robots -> host-broadcast longest-prefix apply over probe
+        # urls that exercise every decision branch (neutral page, denied
+        # prefix, longer allow override, conditional second group).
+        from logparse_rs_spark.fixtures import DOMAINS
+        from logparse_rs_spark.operators.crawl import (apply_url_policy_df,
+                                                       parse_robots)
+        robots = spark.createDataFrame(_robots_fixture(DOMAINS),
+                                       "host string, body string")
+        rules = parse_robots(robots).select("prefix", "allow")
+        urls = spark.createDataFrame(
+            [(u,) for u in _robots_probe_urls(DOMAINS)], "url string")
+        out = apply_url_policy_df(urls, rules, default_allow=True)
+        host = F.regexp_extract("url", "^https?://([^/]+)", 1)
+        return (out.groupBy(host.alias("host"))
+                .agg(F.count("*").alias("n_urls"),
+                     F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+                     F.sum(F.col("rule_prefix").isNotNull().cast("long"))
+                     .alias("n_rule_hits"))
+                .orderBy("host"))
+
     def doc_train_eval_split(spark, sf_dir):
         # deterministic held-out split: eval iff the portable 60-bit md5
         # hash of the doc id lands in the first 10% of the residue space
@@ -1744,15 +1781,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_scrubbed": doc_span_scrubbed,
         "log_robots_rules": log_robots_rules,
         "log_crawl_frontier": log_crawl_frontier,
+        "log_robots_applied": log_robots_applied,
+        # the six lowest-marginal-risk r5 queries sit at slots 51-56: if
+        # the driver still snapshots only 50, what it skips is the
+        # literal-rules policy form (its decision logic is exercised in
+        # the top-50 by log_robots_applied through the broadcast path), a
+        # composition of two pieces checked/pinned on their own (recrawl
+        # frontier = delta + prioritized frontier), a rank rollup whose
+        # decomposition is pytest-pinned, a plain full-outer-join status
+        # rollup, a two-column residue-split rollup, and a query whose
+        # oracle is shared verbatim with log_url_policy (hosted form)
         "log_url_policy": log_url_policy,
-        # the five lowest-marginal-risk r5 queries sit at slots 51-55: if
-        # the driver still snapshots only 50, what it skips is a
-        # composition of two pieces checked/pinned on their own
-        # (recrawl frontier = delta + prioritized frontier), a rank
-        # rollup whose decomposition is pytest-pinned, a plain
-        # full-outer-join status rollup, a two-column residue-split
-        # rollup, and a query whose oracle is shared verbatim with a
-        # checked one (hosted policy == log_url_policy)
         "log_frontier_recrawl": log_frontier_recrawl,
         "doc_shard_assign": doc_shard_assign,
         "log_crawl_delta": log_crawl_delta,
@@ -2980,6 +3019,36 @@ def oracle_sql() -> dict[str, str]:
         WHERE star = 1 AND gid > 0 AND fld IN ('allow', 'disallow')
           AND val <> ''
         ORDER BY host, ordinal
+    """
+    # robots end-to-end: the parsed-rules CTE composed with the probe-url
+    # longest-prefix decision (pure startswith here vs Spark's
+    # host-equijoin-then-startswith — equivalent because a rule prefix
+    # embeds its full host)
+    _probe_values = ", ".join(
+        f"('{u}')" for u in _robots_probe_urls(_DOMAINS))
+    d["log_robots_applied"] = f"""
+        WITH rules AS ({d["log_robots_rules"]}),
+        u(url) AS (VALUES {_probe_values}),
+        m AS (SELECT u.url, rules.prefix, rules.allow,
+                     ROW_NUMBER() OVER (PARTITION BY u.url
+                       ORDER BY length(rules.prefix) DESC,
+                                rules.allow DESC,
+                                rules.prefix DESC) AS rn
+              FROM u LEFT JOIN rules
+                ON starts_with(u.url, rules.prefix)),
+        dec AS (SELECT url,
+                       COALESCE(MAX(CASE WHEN rn = 1 THEN allow END),
+                                TRUE) AS allowed,
+                       MAX(CASE WHEN rn = 1 THEN prefix END)
+                         AS rule_prefix
+                FROM m GROUP BY url)
+        SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               COUNT(*) AS n_urls,
+               SUM(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT
+                 AS n_allowed,
+               SUM(CASE WHEN rule_prefix IS NOT NULL THEN 1 ELSE 0
+                   END)::BIGINT AS n_rule_hits
+        FROM dec GROUP BY host ORDER BY host
     """
     # balanced shard write-out: the oracle affords the global row_number
     # at test scale; the Spark side must reproduce the SAME rank through
