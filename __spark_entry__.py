@@ -1589,6 +1589,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.md5("text").alias("text_md5"),
                           "n_removed")
 
+    def img_neardup_candidates(spark, sf_dir):
+        # multimodal near-dup, oracle-checked end to end: RAW8 image bytes
+        # -> perceptual average-hash (Arrow-batched, pixels never shuffle)
+        # -> 16-bit-chunk Hamming banding (simhash_candidates unchanged —
+        # both are 64-bit keys). Images are the deterministic cluster
+        # fixture from dataops_fixtures; the oracle bands the SAME-kernel
+        # precomputed hashes in SQL.
+        from logparse_rs_spark.dataops_fixtures import ensure_dataops_aux
+        from logparse_rs_spark.operators.dedup import simhash_candidates
+        from logparse_rs_spark.operators.multimodal import image_ahash
+        paths = ensure_dataops_aux(FIXTURE_ROOT, sf_dir)
+        imgs = spark.read.parquet(paths["images"])
+        ah = image_ahash(imgs).withColumnRenamed("ahash", "simhash")
+        return simhash_candidates(ah, max_bucket=1000)
+
     def log_robots_rules(spark, sf_dir):
         # robots.txt parsing at fleet scale: one deterministic body per
         # fixture host (shared helper _robots_fixture) -> (host, prefix,
@@ -1781,16 +1796,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_span_scrubbed": doc_span_scrubbed,
         "log_robots_rules": log_robots_rules,
         "log_crawl_frontier": log_crawl_frontier,
-        "log_robots_applied": log_robots_applied,
-        # the six lowest-marginal-risk r5 queries sit at slots 51-56: if
-        # the driver still snapshots only 50, what it skips is the
-        # literal-rules policy form (its decision logic is exercised in
-        # the top-50 by log_robots_applied through the broadcast path), a
+        "img_neardup_candidates": img_neardup_candidates,
+        # the seven lowest-marginal-risk r5 queries sit at slots 51-57:
+        # if the driver still snapshots only 50, what it skips is the
+        # robots end-to-end composition (both pieces checked/pinned in
+        # the top 50), the literal-rules policy form (its decision logic
+        # is exercised by the composition and the hosted tests), a
         # composition of two pieces checked/pinned on their own (recrawl
         # frontier = delta + prioritized frontier), a rank rollup whose
         # decomposition is pytest-pinned, a plain full-outer-join status
         # rollup, a two-column residue-split rollup, and a query whose
         # oracle is shared verbatim with log_url_policy (hosted form)
+        "log_robots_applied": log_robots_applied,
         "log_url_policy": log_url_policy,
         "log_frontier_recrawl": log_frontier_recrawl,
         "doc_shard_assign": doc_shard_assign,
@@ -1864,6 +1881,7 @@ def oracle_sql() -> dict[str, str]:
     EMB_PROBES = f"read_parquet('{aux['emb_probes']}')"
     TOK_BUCKETS = f"read_parquet('{aux['tok_buckets']}')"
     BATCH_AUX = f"read_parquet('{aux['batch_aux']}')"
+    IMG_AUX = f"read_parquet('{aux['img_aux']}')"
     from logparse_rs_spark.dataops_fixtures import DSIR_N_BUCKETS
     # only the fields the sample anonymizer config actively transforms appear
     # in the integrity table (rule_name/source_user are NOT matched by the
@@ -3019,6 +3037,22 @@ def oracle_sql() -> dict[str, str]:
         WHERE star = 1 AND gid > 0 AND fld IN ('allow', 'disallow')
           AND val <> ''
         ORDER BY host, ordinal
+    """
+    # image near-dup: Hamming banding over aHash values precomputed by the
+    # SAME numpy kernel the Spark pandas UDF calls (ahash_batch); the
+    # arithmetic >> is masked so it equals Spark's unsigned shift
+    d["img_neardup_candidates"] = f"""
+        WITH c AS (
+          SELECT doc_id, ahash, i AS chunk_idx,
+                 (ahash >> (i*16)) & 65535 AS chunk_val
+          FROM {IMG_AUX}
+          CROSS JOIN (SELECT unnest(range(4)) AS i)
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+               bit_count(xor(l.ahash, r.ahash))::INT AS hamming
+        FROM c l JOIN c r
+          ON l.chunk_idx = r.chunk_idx AND l.chunk_val = r.chunk_val
+             AND l.doc_id < r.doc_id
     """
     # robots end-to-end: the parsed-rules CTE composed with the probe-url
     # longest-prefix decision (pure startswith here vs Spark's

@@ -28,7 +28,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any refimpl kernel or parameter below changes semantics
-_AUX_VERSION = 3
+_AUX_VERSION = 4
+
+# image near-dup fixture (img_neardup_candidates): RAW8 grayscale images
+# synthesized per doc — docs in the same cluster share a base pattern with
+# a few per-member pixel perturbations (near-dups, small aHash Hamming
+# distance); clusters are mutually random (far apart)
+IMG_SIDE = 32            # source images are 32x32 RAW8
+IMG_CLUSTER_SIZE = 12    # ~docs per near-dup cluster at any sf
+IMG_NOISE_PIXELS = 3     # perturbed pixels per member
 
 # fuzzy-incremental batch synthesis (doc_fuzzy_incremental): the SAME rule
 # is spelled three times — Spark column exprs in __spark_entry__, oracle
@@ -82,6 +90,8 @@ def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
         "emb_probes": os.path.join(out_dir, "emb_probes.parquet"),
         "tok_buckets": os.path.join(out_dir, "tok_buckets.parquet"),
         "batch_aux": os.path.join(out_dir, "batch_aux.parquet"),
+        "images": os.path.join(out_dir, "images.parquet"),
+        "img_aux": os.path.join(out_dir, "img_aux.parquet"),
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
@@ -134,6 +144,29 @@ def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
         "sig": pa.array([s.tolist() for s in batch_sigs],
                         pa.list_(pa.int64())),
     }), paths["batch_aux"])
+
+    # ---- images: RAW8 near-dup clusters + aHash (same kernel as Spark) ----
+    from .operators.multimodal import ahash_batch, raw8_encode
+    n_clusters = max(1, len(doc_ids) // IMG_CLUSTER_SIZE)
+    blobs = []
+    for i in doc_ids:
+        base_rng = np.random.default_rng(10_000 + (i % n_clusters))
+        img = base_rng.integers(0, 256, (IMG_SIDE, IMG_SIDE),
+                                dtype=np.uint8).copy()
+        mem_rng = np.random.default_rng(20_000 + i)
+        for _ in range(IMG_NOISE_PIXELS):
+            r, c = mem_rng.integers(0, IMG_SIDE, 2)
+            img[r, c] = np.uint8((int(img[r, c]) + 40) % 256)
+        blobs.append(raw8_encode(img))
+    _atomic_write(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "img": pa.array(blobs, pa.binary()),
+    }), paths["images"])
+    _atomic_write(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "ahash": pa.array(ahash_batch(pd.Series(blobs)).tolist(),
+                          pa.int64()),
+    }), paths["img_aux"])
 
     # ---- corpus vocabulary -> DSIR hash buckets ---------------------------
     # the Spark operator buckets tokens with fnv1a_col(token) % B on the

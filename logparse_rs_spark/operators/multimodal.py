@@ -166,3 +166,81 @@ def frame_sample(df: DataFrame, binary_col: str = "html",
                 F.col("frame.frame_digest").alias("frame_digest"))
         .drop("frame")
     )
+
+
+# ---- perceptual average-hash (aHash) near-dup ------------------------------
+
+RAW8_MAGIC = b"RAW8"
+
+
+def raw8_encode(arr: np.ndarray) -> bytes:
+    """Trivial codec-free grayscale container: b'RAW8' + height + width
+    (big-endian uint16) + row-major uint8 pixels. The oracle-checked image
+    queries use it so the decode step needs NO codec library while staying
+    a real bytes->pixels decode; a production deployment swaps in the
+    pillow backend (same downstream contract)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = a.shape
+    return (RAW8_MAGIC + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + a.tobytes())
+
+
+def _raw8_decode(blob: bytes, h: int, w: int) -> np.ndarray:
+    """RAW8 bytes -> (h, w) float grid in [0, 1] via nearest-neighbor
+    sampling (deterministic, dependency-free)."""
+    src_h = int.from_bytes(blob[4:6], "big")
+    src_w = int.from_bytes(blob[6:8], "big")
+    px = np.frombuffer(blob[8:8 + src_h * src_w], dtype=np.uint8)
+    grid = px.reshape(src_h, src_w)
+    ri = (np.arange(h) * src_h) // h
+    ci = (np.arange(w) * src_w) // w
+    return grid[np.ix_(ri, ci)].astype(np.float64) / 255.0
+
+
+def ahash_batch(blobs: pd.Series, size: int = 8) -> np.ndarray:
+    """Pure-numpy average-hash batch — shared by the Spark pandas UDF and
+    the oracle fixture generator (one kernel, zero drift): decode ->
+    size x size grid -> bit j set iff pixel j > grid mean (row-major),
+    packed into an int64 (two's complement, same packing as simhash)."""
+    out = np.zeros(len(blobs), dtype=np.int64)
+    for i, b in enumerate(blobs):
+        b = bytes(b or b"")
+        if not b:
+            continue
+        try:
+            if b.startswith(RAW8_MAGIC):
+                g = _raw8_decode(b, size, size)
+            elif _PIL_Image is not None:
+                g = _pil_decode(b, size, size)
+            else:
+                g = _fake_decode(b, size, size)
+        except Exception:
+            continue                     # undecodable -> hash 0
+        bits = (g > g.mean()).reshape(-1)
+        v = np.uint64(0)
+        for j in range(size * size):
+            if bits[j]:
+                v |= np.uint64(1) << np.uint64(j)
+        out[i] = np.int64(v.view(np.int64))
+    return out
+
+
+def image_ahash(df: DataFrame, binary_col: str = "img",
+                id_col: str = "doc_id", size: int = 8) -> DataFrame:
+    """(id, ahash BIGINT) — the perceptual near-dup key for image dedup
+    (dedup-before-decode's fuzzy sibling: byte-identical images collapse
+    on the sha256 digest, re-encoded/lightly-edited ones land within a
+    small Hamming distance of each other). Feed the output to
+    dedup.simhash_candidates (rename ahash -> simhash) for the banded
+    candidate join — the Manku pigeonhole guarantee and the bucket-cap
+    economics carry over unchanged since both are 64-bit keys.
+
+    Scale shape: one Arrow-batched pass over the (fat) binary column
+    emits 8-byte hashes; every downstream join/shuffle moves hashes,
+    never pixels."""
+
+    @F.pandas_udf(T.LongType())
+    def _ahash(blobs: pd.Series) -> pd.Series:
+        return pd.Series(ahash_batch(blobs, size), index=blobs.index)
+
+    return df.select(F.col(id_col), _ahash(F.col(binary_col)).alias("ahash"))

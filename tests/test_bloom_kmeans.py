@@ -112,3 +112,49 @@ class TestKmeansAssignExact:
         out = kmeans_assign_exact(df, k=2, iterations=2).collect()
         assert len(out) == 4
         assert all(r.cluster in (0, 1) for r in out)
+
+
+class TestImageAhash:
+    def test_raw8_roundtrip_and_sampling(self):
+        import numpy as np
+
+        from logparse_rs_spark.operators.multimodal import (_raw8_decode,
+                                                            raw8_encode)
+        img = np.arange(1024, dtype=np.uint64).reshape(32, 32) % 256
+        blob = raw8_encode(img.astype("uint8"))
+        g = _raw8_decode(blob, 32, 32)
+        assert g.shape == (32, 32)
+        assert abs(g[1, 2] - img[1, 2] / 255.0) < 1e-12
+        small = _raw8_decode(blob, 8, 8)
+        # nearest-neighbor: (j*32)//8 sampling grid
+        assert abs(small[1, 1] - img[4, 4] / 255.0) < 1e-12
+
+    def test_identical_bytes_equal_hash_random_far(self):
+        import numpy as np
+        import pandas as pd
+
+        from logparse_rs_spark.operators.multimodal import (ahash_batch,
+                                                            raw8_encode)
+        rng = np.random.default_rng(7)
+        a = raw8_encode(rng.integers(0, 256, (32, 32), dtype=np.uint8))
+        b = raw8_encode(rng.integers(0, 256, (32, 32), dtype=np.uint8))
+        h = ahash_batch(pd.Series([a, a, b]))
+        assert h[0] == h[1]
+        assert bin(int(h[0]) ^ int(h[2]) & (2**64 - 1)).count("1") > 10
+
+    def test_spark_udf_matches_kernel(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from logparse_rs_spark.operators.multimodal import (ahash_batch,
+                                                            image_ahash,
+                                                            raw8_encode)
+        rng = np.random.default_rng(11)
+        blobs = [raw8_encode(rng.integers(0, 256, (32, 32), dtype=np.uint8))
+                 for _ in range(5)]
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in enumerate(blobs)],
+            "doc_id long, img binary")
+        got = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+        want = ahash_batch(pd.Series(blobs))
+        assert [got[i] for i in range(5)] == list(want)
