@@ -1589,6 +1589,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.md5("text").alias("text_md5"),
                           "n_removed")
 
+    def doc_decontaminated(spark, sf_dir):
+        # benchmark decontamination by EDITING: every corpus word covered
+        # by an 8-word span that appears in the eval set (doc_id % 17 ==
+        # 0) is scrubbed; eval docs themselves scrub to empty, docs
+        # sharing only their own template spans stay byte-identical.
+        from logparse_rs_spark.operators.dedup import (
+            remove_contaminated_spans)
+        ev = (_docs(spark, sf_dir)
+              .filter(F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+              .select("doc_id", "text"))
+        out = remove_contaminated_spans(_tok_docs(spark, sf_dir), ev,
+                                        n=8, words_col="words")
+        return out.select("doc_id", F.md5("text").alias("text_md5"),
+                          "n_removed")
+
     def img_neardup_candidates(spark, sf_dir):
         # multimodal near-dup, oracle-checked end to end: RAW8 image bytes
         # -> perceptual average-hash (Arrow-batched, pixels never shuffle)
@@ -1795,9 +1810,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_duplicate_spans": doc_duplicate_spans,
         "doc_span_scrubbed": doc_span_scrubbed,
         "log_robots_rules": log_robots_rules,
-        "log_crawl_frontier": log_crawl_frontier,
         "img_neardup_candidates": img_neardup_candidates,
-        # the seven lowest-marginal-risk r5 queries sit at slots 51-57:
+        "doc_decontaminated": doc_decontaminated,
+        # the eight lowest-marginal-risk r5 queries sit at slots 51-58
+        # (frontier politeness is pytest-pinned — contiguity, pinning —
+        # and its portable worker hash is the same md5-conv construction
+        # the checked Bloom query exercises):
         # if the driver still snapshots only 50, what it skips is the
         # robots end-to-end composition (both pieces checked/pinned in
         # the top 50), the literal-rules policy form (its decision logic
@@ -1807,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decomposition is pytest-pinned, a plain full-outer-join status
         # rollup, a two-column residue-split rollup, and a query whose
         # oracle is shared verbatim with log_url_policy (hosted form)
+        "log_crawl_frontier": log_crawl_frontier,
         "log_robots_applied": log_robots_applied,
         "log_url_policy": log_url_policy,
         "log_frontier_recrawl": log_frontier_recrawl,
@@ -3037,6 +3056,47 @@ def oracle_sql() -> dict[str, str]:
         WHERE star = 1 AND gid > 0 AND fld IN ('allow', 'disallow')
           AND val <> ''
         ORDER BY host, ordinal
+    """
+    # decontamination scrubbing: identical machinery to doc_span_scrubbed
+    # except the banned set = spans of the eval subset (doc_id % 17 == 0)
+    d["doc_decontaminated"] = f"""
+        WITH w AS (SELECT doc_id, text,
+                          list_filter(string_split_regex(lower(text),
+                                                         '{WSP}'),
+                                      x -> x <> '') AS ws
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     unnest(CASE WHEN len(ws) >= 8 THEN
+                       list_transform(generate_series(1, len(ws) - 7),
+                         i -> array_to_string(list_slice(ws, i, i + 7),
+                                              ' '))
+                       ELSE []::VARCHAR[] END) AS span,
+                     unnest(CASE WHEN len(ws) >= 8 THEN
+                       generate_series(1, len(ws) - 7)
+                       ELSE []::BIGINT[] END) AS st
+              FROM w),
+        sh AS (SELECT DISTINCT span FROM s WHERE doc_id % 17 = 0),
+        cvx AS (SELECT doc_id,
+                       unnest(generate_series(st, st + 7)) AS idx
+                FROM s WHERE span IN (SELECT span FROM sh)),
+        cv AS (SELECT DISTINCT doc_id, idx FROM cvx),
+        tok AS (SELECT doc_id, unnest(ws) AS wd,
+                       unnest(generate_series(1, len(ws))) AS idx
+                FROM w),
+        kept AS (SELECT t.doc_id,
+                        array_to_string(list(t.wd ORDER BY t.idx), ' ')
+                          AS newt
+                 FROM tok t LEFT JOIN cv
+                   ON t.doc_id = cv.doc_id AND t.idx = cv.idx
+                 WHERE cv.idx IS NULL GROUP BY t.doc_id),
+        rem AS (SELECT doc_id, COUNT(*) AS n_removed FROM cv
+                GROUP BY doc_id)
+        SELECT d.doc_id,
+               md5(CASE WHEN rem.n_removed IS NULL THEN d.text
+                        ELSE COALESCE(kept.newt, '') END) AS text_md5,
+               COALESCE(rem.n_removed, 0)::BIGINT AS n_removed
+        FROM documents d
+        LEFT JOIN rem USING (doc_id) LEFT JOIN kept USING (doc_id)
     """
     # image near-dup: Hamming banding over aHash values precomputed by the
     # SAME numpy kernel the Spark pandas UDF calls (ahash_batch); the

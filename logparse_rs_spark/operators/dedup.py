@@ -690,6 +690,20 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
     rebuild is one id-keyed aggregate whose per-group state is bounded
     by the document's own length. Untouched docs never leave the scan —
     they join the edited set by id with a coalesce."""
+    base, per = _span_frames(docs, n, text_col, id_col, words_col)
+    # span -> distinct-doc frequency (vocab-sized after the map-side
+    # partials); shared = spans carried by >= min_docs docs
+    shared = (per.select(id_col, "_span").distinct()
+              .groupBy("_span").agg(F.count("*").alias("_nd"))
+              .filter(F.col("_nd") >= min_docs)
+              .select("_span"))
+    return _scrub_spans(base, per, shared, n, text_col, id_col)
+
+
+def _span_frames(docs: DataFrame, n: int, text_col: str, id_col: str,
+                 words_col: Optional[str]):
+    """(base, per): the tokenized doc frame and its positioned n-word
+    spans — shared by the duplicate-span and contamination scrubbers."""
     from .text import _words
 
     words = (F.col(words_col) if words_col
@@ -705,13 +719,14 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
     ).otherwise(F.array().cast("array<string>"))
     # (id, start0, span): posexplode's index IS the 0-based start word
     per = base.select(id_col, F.posexplode(spans).alias("_start", "_span"))
-    # span -> distinct-doc frequency (vocab-sized after the map-side
-    # partials); shared = spans carried by >= min_docs docs
-    shared = (per.select(id_col, "_span").distinct()
-              .groupBy("_span").agg(F.count("*").alias("_nd"))
-              .filter(F.col("_nd") >= min_docs)
-              .select("_span"))
-    covered = (per.join(shared, "_span", "left_semi")
+    return base, per
+
+
+def _scrub_spans(base: DataFrame, per: DataFrame, banned: DataFrame,
+                 n: int, text_col: str, id_col: str) -> DataFrame:
+    """Drop every word covered by a banned span; rebuild only touched
+    docs (see remove_duplicate_spans for the scale notes)."""
+    covered = (per.join(banned, "_span", "left_semi")
                .select(id_col,
                        F.explode(F.sequence(
                            F.col("_start"),
@@ -740,3 +755,27 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
                F.coalesce(F.col("_removed"), F.lit(0)).cast("bigint")
                .alias("n_removed")))
     return out
+
+
+def remove_contaminated_spans(docs: DataFrame, eval_docs: DataFrame,
+                              n: int = 8, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              eval_text_col: str = "text",
+                              words_col: Optional[str] = None) -> DataFrame:
+    """Benchmark DECONTAMINATION by span scrubbing: drop every corpus word
+    covered by an n-word span that appears anywhere in the eval set — the
+    editing counterpart of the contamination CHECK (which only flags).
+    Output contract matches remove_duplicate_spans: (id, text, n_removed),
+    untouched docs byte-identical, edited docs rebuilt from surviving
+    lowercased tokens.
+
+    Scale shape: the banned-span set is EVAL-SIZED (benchmarks are
+    thousands of docs, not billions) and broadcast, so the corpus-side
+    marking is a broadcast semi-join on the span string — the corpus
+    never shuffles to discover contamination; only the docs that
+    actually hit an eval span pay the covered-index explode and the
+    id-keyed rebuild."""
+    base, per = _span_frames(docs, n, text_col, id_col, words_col)
+    _, eval_per = _span_frames(eval_docs, n, eval_text_col, id_col, None)
+    banned = F.broadcast(eval_per.select("_span").distinct())
+    return _scrub_spans(base, per, banned, n, text_col, id_col)

@@ -359,3 +359,33 @@ class TestFrontierPriority:
         assert out["https://a.com/low1"] == 1
         assert out["https://a.com/low2"] == 2
         assert out["https://b.com/x"] == 0
+
+
+class TestRemoveContaminatedSpans:
+    def test_eval_spans_scrub_corpus_only_where_present(self, spark):
+        from logparse_rs_spark.operators.dedup import (
+            remove_contaminated_spans)
+        bench = "q one q two q three q four"   # 8 words, n=4 -> 5 spans
+        docs = spark.createDataFrame(
+            [(1, f"intro words {bench} outro"),
+             (2, "totally clean document here today")],
+            "doc_id long, text string")
+        ev = spark.createDataFrame([(100, bench)],
+                                   "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               remove_contaminated_spans(docs, ev, n=4).collect()}
+        assert out[1].text == "intro words outro"
+        assert out[1].n_removed == 8
+        assert out[2].text == "totally clean document here today"
+        assert out[2].n_removed == 0
+
+    def test_banned_set_is_broadcast(self, spark):
+        from logparse_rs_spark.operators.dedup import (
+            remove_contaminated_spans)
+        docs = spark.createDataFrame([(1, "a b c d e")],
+                                     "doc_id long, text string")
+        ev = spark.createDataFrame([(9, "a b c d")],
+                                   "doc_id long, text string")
+        plan = (remove_contaminated_spans(docs, ev, n=4)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

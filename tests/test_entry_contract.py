@@ -42,10 +42,10 @@ def test_never_checked_queries_form_the_dict_prefix():
     assert set(qs[:len(unchecked)]) == set(unchecked), (
         "never-checked queries must form the dict prefix")
     spilled = [q for q in unchecked if q not in set(qs[:50])]
-    assert spilled == ["log_robots_applied", "log_url_policy",
-                       "log_frontier_recrawl", "doc_shard_assign",
-                       "log_crawl_delta", "doc_train_eval_split",
-                       "log_url_policy_hosted"], (
+    assert spilled == ["log_crawl_frontier", "log_robots_applied",
+                       "log_url_policy", "log_frontier_recrawl",
+                       "doc_shard_assign", "log_crawl_delta",
+                       "doc_train_eval_split", "log_url_policy_hosted"], (
         "only the designated low-risk queries may sit past slot 50")
 
 
