@@ -764,6 +764,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("kept_docs"),
                      F.sum("n_chars").alias("kept_chars")))
 
+    def doc_span_novelty(spark, sf_dir):
+        # first-occurrence attribution: per doc, the fraction of its
+        # distinct 8-word spans FIRST seen in this doc (min owning id) —
+        # the inverse of doc_duplicate_spans, same inverted-index shape
+        from logparse_rs_spark.operators.dedup import span_novelty
+        return span_novelty(_tok_docs(spark, sf_dir), n=8,
+                            words_col="words")
+
+    def doc_source_overlap(spark, sf_dir):
+        # syndication detection: near-dup pairs rolled up to the source
+        # level (canonically ordered pair), duplicate-mass per feed pair
+        from logparse_rs_spark.operators.dedup import (minhash_lsh_pairs,
+                                                       source_overlap)
+        return source_overlap(
+            minhash_lsh_pairs(_doc_sigs(spark, sf_dir), bands=16),
+            _docs(spark, sf_dir))
+
+    def doc_softdedup_weights(spark, sf_dir):
+        # soft dedup: DOWN-WEIGHT cluster members (1/k in ppm) instead of
+        # dropping them; reuses the session-shared components frame, so
+        # the only new work is one id-keyed join + scan-side integer DIV
+        from logparse_rs_spark.operators.dedup import soft_dedup_weights
+        from logparse_rs_spark.operators.graph import dup_clusters
+        clusters = dup_clusters(components=_doc_components(spark, sf_dir))
+        return soft_dedup_weights(_docs(spark, sf_dir), clusters)
+
+    def doc_cluster_reps(spark, sf_dir):
+        # quality-aware canonical-copy selection: highest-quality member
+        # per near-dup cluster (tie -> min id) — the keep-best variant of
+        # doc_cluster_dedup_stats' keep-min-id rule
+        from logparse_rs_spark.operators.dedup import cluster_representatives
+        from logparse_rs_spark.operators.graph import dup_clusters
+        from logparse_rs_spark.operators.text import quality_score
+        clusters = dup_clusters(components=_doc_components(spark, sf_dir))
+        return cluster_representatives(
+            clusters, quality_score(_docs(spark, sf_dir)))
+
     def doc_packed_sequences(spark, sf_dir):
         # chunking -> greedy sequence packing (256-word budget, 8 packing
         # buckets): the applyInPandas-backed stateful-within-group op,
@@ -1833,6 +1870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_crawl_delta": log_crawl_delta,
         "doc_train_eval_split": doc_train_eval_split,
         "log_url_policy_hosted": log_url_policy_hosted,
+        "doc_softdedup_weights": doc_softdedup_weights,
+        "doc_cluster_reps": doc_cluster_reps,
+        "doc_span_novelty": doc_span_novelty,
+        "doc_source_overlap": doc_source_overlap,
         "log_route_counts": log_route_counts,
         "log_integrity_table": log_integrity_table,
         "doc_exact_dedup": doc_exact_dedup,
@@ -2525,6 +2566,76 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN clusters c ON d.doc_id = c.id AND c.id <> c.component
         WHERE c.id IS NULL
         GROUP BY d.lang
+    """
+    # soft-dedup oracle: same clusters CTE; weight is exact integer DIV so
+    # both engines agree bit-for-bit (cluster_size >= 1 always)
+    d["doc_softdedup_weights"] = f"""
+        WITH clusters AS ({d["doc_dup_clusters"]})
+        SELECT d.doc_id,
+               COALESCE(c.cluster_size, 1)::BIGINT AS cluster_size,
+               (1000000 // COALESCE(c.cluster_size, 1))::BIGINT
+                 AS weight_ppm
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.id
+    """
+    # representative oracle: deterministic argmax via ROW_NUMBER over the
+    # same (quality DESC, id ASC) total order the Spark max_by key encodes
+    d["doc_cluster_reps"] = f"""
+        WITH clusters AS ({d["doc_dup_clusters"]}),
+        q AS ({d["doc_quality"]}),
+        r AS (
+          SELECT c.component, q.doc_id, q.quality, c.cluster_size,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.component
+                   ORDER BY q.quality DESC, q.doc_id ASC) AS rn
+          FROM clusters c JOIN q ON q.doc_id = c.id)
+        SELECT component, doc_id AS rep_doc_id, quality AS rep_quality,
+               cluster_size::BIGINT AS cluster_size
+        FROM r WHERE rn = 1
+    """
+    # novelty oracle: same span construction as doc_duplicate_spans; the
+    # first occurrence of a span is its minimum owning doc id
+    d["doc_span_novelty"] = f"""
+        WITH w AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text),
+                                                         '{WSP}'),
+                                      x -> x <> '') AS ws
+                   FROM documents),
+        s AS (SELECT doc_id, unnest(list_distinct(
+                  CASE WHEN len(ws) >= 8 THEN
+                    list_transform(generate_series(1, len(ws) - 7),
+                      i -> array_to_string(list_slice(ws, i, i + 7), ' '))
+                  ELSE []::VARCHAR[] END)) AS span
+              FROM w),
+        c AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY span)
+                       AS first_doc
+              FROM s)
+        SELECT doc_id, COUNT(*) AS n_spans,
+               SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)::BIGINT
+                 AS n_novel,
+               (SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                 * 1000000) // COUNT(*) AS novel_ppm
+        FROM c GROUP BY doc_id
+    """
+    # source-overlap oracle: the SAME pair set as doc_minhash_pairs,
+    # rolled up to canonically-ordered source pairs
+    d["doc_source_overlap"] = f"""
+        WITH p AS ({d["doc_minhash_pairs"]}),
+        tagged AS (
+          SELECT least(da.source, db.source) AS source_a,
+                 greatest(da.source, db.source) AS source_b,
+                 p.id_a, p.id_b
+          FROM p JOIN documents da ON p.id_a = da.doc_id
+                 JOIN documents db ON p.id_b = db.doc_id),
+        np AS (SELECT source_a, source_b, COUNT(*) AS n_pairs
+               FROM tagged GROUP BY source_a, source_b),
+        m AS (SELECT DISTINCT source_a, source_b, id FROM (
+                SELECT source_a, source_b, id_a AS id FROM tagged
+                UNION ALL
+                SELECT source_a, source_b, id_b AS id FROM tagged)),
+        nd AS (SELECT source_a, source_b, COUNT(*) AS n_docs
+               FROM m GROUP BY source_a, source_b)
+        SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs
+        FROM np JOIN nd USING (source_a, source_b)
     """
     # contamination oracle compares via the n-gram STRINGS (the Spark side
     # joins on xxhash64 of the same strings; identical counts unless the

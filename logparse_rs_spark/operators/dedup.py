@@ -779,3 +779,153 @@ def remove_contaminated_spans(docs: DataFrame, eval_docs: DataFrame,
     _, eval_per = _span_frames(eval_docs, n, eval_text_col, id_col, None)
     banned = F.broadcast(eval_per.select("_span").distinct())
     return _scrub_spans(base, per, banned, n, text_col, id_col)
+
+
+def soft_dedup_weights(docs: DataFrame, clusters: DataFrame,
+                       id_col: str = "doc_id",
+                       scale: int = 1_000_000) -> DataFrame:
+    """Soft deduplication — DOWN-WEIGHT duplicated documents instead of
+    dropping them (the sampling-weight alternative to hard removal,
+    cf. SoftDeDup, Xia et al. 2024): every member of a near-dup cluster
+    of size k gets training weight 1/k, so each distinct content unit
+    contributes the same total mass to the training mixture regardless
+    of how many copies the crawl captured. Docs outside any cluster keep
+    weight 1.
+
+    ``clusters`` is a (id, component, cluster_size) frame from
+    ``graph.dup_clusters`` — pass the session-shared components frame so
+    the closure is computed once across the dedup family.
+
+    Returns (id, cluster_size BIGINT, weight_ppm BIGINT) for EVERY input
+    doc; weight_ppm = scale DIV cluster_size, exact integer on any
+    engine (cluster_size >= 1, so no division edge cases; at the default
+    scale the weight is parts-per-million, losing at most 1 ppm to the
+    floor — callers needing finer resolution raise ``scale``).
+
+    Scale shape: one hash join of the corpus id column against the
+    cluster assignment (cluster table is duplicate-sized, far smaller
+    than the corpus; the corpus side carries only the 8-byte id — text
+    never shuffles). The weight arithmetic is scan-side integer DIV."""
+    cs = (clusters.select(F.col("id").alias(id_col),
+                          F.col("cluster_size")))
+    return (docs.select(id_col)
+            .join(cs, on=id_col, how="left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("cluster_size"), F.lit(1))
+                .cast("bigint").alias("cluster_size"),
+                F.expr(f"CAST({scale} DIV coalesce(cluster_size, 1) "
+                       "AS BIGINT)").alias("weight_ppm")))
+
+
+def cluster_representatives(clusters: DataFrame, quality: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware canonical-copy selection: for each near-dup cluster,
+    keep the HIGHEST-quality member (ties broken by smallest id) — the
+    "which copy do we actually train on" step that replaces keep-first /
+    keep-min-id dedup when copies differ (one crawl of the page got the
+    clean article, another got it wrapped in boilerplate).
+
+    ``clusters`` is (id, component, cluster_size) from
+    ``graph.dup_clusters``; ``quality`` is any (id, quality) frame —
+    here ``text.quality_score`` output. Returns one row per cluster:
+    (component, rep_doc_id, rep_quality, cluster_size).
+
+    Determinism: the argmax key is (quality, -id), a total order because
+    ids are unique, so any engine picks the same representative.
+
+    Scale shape: the join is cluster-membership-sized (duplicates only,
+    not the corpus), then ONE hash aggregation on component with
+    map-side-combinable max_by — no window, no sort, no corpus scan
+    beyond the quality frame the session already computed."""
+    q = quality.select(F.col(id_col), F.col("quality"))
+    members = (clusters.select(F.col("id").alias(id_col),
+                               "component", "cluster_size")
+               .join(q, on=id_col, how="inner"))
+    key = F.struct(F.col("quality").alias("q"),
+                   (-F.col(id_col)).alias("nid"))
+    return (members.groupBy("component")
+            .agg(F.max_by(F.col(id_col), key).alias("rep_doc_id"),
+                 F.max_by(F.col("quality"), key).alias("rep_quality"),
+                 F.max("cluster_size").cast("bigint")
+                 .alias("cluster_size")))
+
+
+def span_novelty(docs: DataFrame, n: int = 8, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 words_col: Optional[str] = None) -> DataFrame:
+    """First-occurrence attribution — per document, how much of its
+    content is NEW relative to everything with a smaller id (ids are the
+    ingest order in this corpus): the fraction of its distinct word
+    n-gram spans whose minimum owning doc id is this doc. The inverse of
+    duplicate-span exposure: dedup tells you what to drop, novelty tells
+    you which docs actually contributed content — the signal behind
+    dedup-aware data ordering and per-source contribution accounting
+    (cf. Lee et al. 2022's finding that most corpus bytes trace to few
+    first occurrences).
+
+    Returns (id, n_spans, n_novel, novel_ppm BIGINT) for docs with at
+    least one span; novel_ppm = n_novel * 1e6 DIV n_spans, exact integer
+    (n_novel <= n_spans, so the product stays < 2^63 for any doc under
+    ~9.2e12 spans — the same bound as duplicate_span_stats).
+
+    Scale shape: identical to duplicate_span_stats — spans materialize
+    scan-side and dedupe PER DOC before leaving the scan, then one
+    span-keyed shuffle (min doc id is map-side combinable) and one
+    id-keyed rollup. At production scale hash the span through xxhash64
+    first so the shuffle carries 8-byte keys (identical answer absent a
+    2^-64 collision)."""
+    _, per = _span_frames(docs, n, text_col, id_col, words_col)
+    per_d = per.select(id_col, "_span").distinct()
+    firsts = per_d.groupBy("_span").agg(F.min(id_col).alias("_first"))
+    return (per_d.join(firsts, "_span")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum((F.col(id_col) == F.col("_first")).cast("bigint"))
+                 .alias("n_novel"))
+            .select(F.col(id_col),
+                    F.col("n_spans"),
+                    F.col("n_novel"),
+                    F.expr("CAST(n_novel * 1000000 DIV n_spans AS BIGINT)")
+                    .alias("novel_ppm")))
+
+
+def source_overlap(pairs: DataFrame, docs: DataFrame,
+                   id_col: str = "doc_id",
+                   source_col: str = "source") -> DataFrame:
+    """Syndication detection — aggregate document near-dup pairs up to
+    the SOURCE level: which feeds/domains keep publishing each other's
+    content. (source_a, source_b) is canonically ordered (least first)
+    so the pair is direction-free; same-source rows expose internal
+    re-posting. The per-source duplicate mass is the signal a crawl
+    curator uses to down-weight mirror networks before per-doc dedup
+    even runs.
+
+    Returns (source_a, source_b, n_pairs BIGINT, n_docs BIGINT) where
+    n_docs counts distinct documents of the pair's two sides combined.
+
+    Scale shape: the pair table is duplicate-sized (orders of magnitude
+    under the corpus); two id-keyed hash joins against the corpus's
+    (id, source) projection — the text column never enters — then one
+    source-pair-keyed aggregation whose key space is |sources|^2-bounded
+    and far sparser. n_docs uses one distinct over (pair, id), the only
+    extra shuffle, still pair-table-sized."""
+    src = docs.select(F.col(id_col), F.col(source_col))
+    a = src.select(F.col(id_col).alias("id_a"),
+                   F.col(source_col).alias("_sa"))
+    b = src.select(F.col(id_col).alias("id_b"),
+                   F.col(source_col).alias("_sb"))
+    tagged = (pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+              .select(F.least("_sa", "_sb").alias("source_a"),
+                      F.greatest("_sa", "_sb").alias("source_b"),
+                      "id_a", "id_b"))
+    n_pairs = (tagged.groupBy("source_a", "source_b")
+               .agg(F.count("*").alias("n_pairs")))
+    members = (tagged.select("source_a", "source_b",
+                             F.col("id_a").alias("id"))
+               .unionByName(tagged.select("source_a", "source_b",
+                                          F.col("id_b").alias("id")))
+               .distinct()
+               .groupBy("source_a", "source_b")
+               .agg(F.count("*").alias("n_docs")))
+    return n_pairs.join(members, ["source_a", "source_b"])

@@ -1411,3 +1411,72 @@ class TestNewOpPlanShapes:
         # window replication happens in the row (explode/expand), not via
         # a join against a window table
         assert "Join" not in plan, plan
+
+
+class TestSoftDedupAndReps:
+    def _clusters(self, spark):
+        # two clusters: {1,2,3} rooted at 1, {10,11} rooted at 10
+        from logparse_rs_spark.operators.graph import dup_clusters
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        return dup_clusters(pairs=pairs)
+
+    def test_soft_dedup_weights_exact(self, spark):
+        from logparse_rs_spark.operators.dedup import soft_dedup_weights
+        docs = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+        got = {r["doc_id"]: (r["cluster_size"], r["weight_ppm"])
+               for r in soft_dedup_weights(docs, self._clusters(spark))
+               .collect()}
+        assert got[1] == got[2] == got[3] == (3, 333333)
+        assert got[10] == got[11] == (2, 500000)
+        assert got[99] == (1, 1000000)  # singleton untouched, full weight
+
+    def test_cluster_reps_quality_argmax_and_tiebreak(self, spark):
+        from logparse_rs_spark.operators.dedup import cluster_representatives
+        quality = spark.createDataFrame(
+            [(1, 0.2), (2, 0.9), (3, 0.9),     # tie on 0.9 -> min id 2
+             (10, 0.5), (11, 0.4), (99, 1.0)],
+            "doc_id long, quality double")
+        rows = {r["component"]: r for r in cluster_representatives(
+            self._clusters(spark), quality).collect()}
+        assert set(rows) == {1, 10}  # one row per cluster, no singletons
+        assert rows[1]["rep_doc_id"] == 2
+        assert rows[1]["rep_quality"] == 0.9
+        assert rows[1]["cluster_size"] == 3
+        assert rows[10]["rep_doc_id"] == 10
+        assert rows[10]["cluster_size"] == 2
+
+
+class TestSpanNoveltyAndSourceOverlap:
+    def test_span_novelty_first_occurrence(self, spark):
+        from logparse_rs_spark.operators.dedup import span_novelty
+        # doc 0: 4 words -> 2 distinct 3-grams, all first-seen
+        # doc 1: copies doc 0 verbatim -> 0 novel
+        # doc 2: one span copied from doc 0, one new
+        docs = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b c d"), (2, "a b c x y")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in span_novelty(docs, n=3).collect()}
+        assert (got[0]["n_spans"], got[0]["n_novel"]) == (2, 2)
+        assert got[0]["novel_ppm"] == 1000000
+        assert (got[1]["n_spans"], got[1]["n_novel"]) == (2, 0)
+        assert got[1]["novel_ppm"] == 0
+        # doc 2 spans: "a b c" (seen in doc 0), "b c x", "c x y"
+        assert (got[2]["n_spans"], got[2]["n_novel"]) == (3, 2)
+        assert got[2]["novel_ppm"] == 666666
+
+    def test_source_overlap_canonical_pairs(self, spark):
+        from logparse_rs_spark.operators.dedup import source_overlap
+        docs = spark.createDataFrame(
+            [(1, "feedB"), (2, "feedA"), (3, "feedA"), (4, "feedA")],
+            "doc_id long, source string")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 1), (3, 4)], "id_a long, id_b long")
+        rows = {(r["source_a"], r["source_b"]): r
+                for r in source_overlap(pairs, docs).collect()}
+        # both (1,2) directions land on the SAME canonical key
+        ab = rows[("feedA", "feedB")]
+        assert ab["n_pairs"] == 2 and ab["n_docs"] == 2
+        aa = rows[("feedA", "feedA")]
+        assert aa["n_pairs"] == 1 and aa["n_docs"] == 2

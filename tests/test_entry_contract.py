@@ -45,7 +45,9 @@ def test_never_checked_queries_form_the_dict_prefix():
     assert spilled == ["log_crawl_frontier", "log_robots_applied",
                        "log_url_policy", "log_frontier_recrawl",
                        "doc_shard_assign", "log_crawl_delta",
-                       "doc_train_eval_split", "log_url_policy_hosted"], (
+                       "doc_train_eval_split", "log_url_policy_hosted",
+                       "doc_softdedup_weights", "doc_cluster_reps",
+                       "doc_span_novelty", "doc_source_overlap"], (
         "only the designated low-risk queries may sit past slot 50")
 
 
