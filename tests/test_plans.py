@@ -179,3 +179,43 @@ class TestRound5Plans:
         persisted = [rdd for rdd in
                      spark.sparkContext._jsc.getPersistentRDDs().values()]
         assert persisted  # at least one persisted frame live (edges/parse)
+
+
+class TestFinalWavePlans:
+    def test_softdedup_never_shuffles_text(self, spark, entrymod):
+        """soft-dedup joins the corpus ID projection against the cluster
+        table — the text column must never appear past the scan."""
+        df = entrymod.queries()["doc_softdedup_weights"](spark, SF)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        # the corpus-side scan reads only doc_id (column pruning held)
+        doc_scans = [l for l in plan.splitlines()
+                     if "FileScan" in l and "documents" in l]
+        assert doc_scans and all("text" not in l for l in doc_scans)
+
+    def test_cluster_reps_aggregates_without_window(self, spark, entrymod):
+        """representative selection is ONE hash aggregation via max_by —
+        a window implementation would force a per-cluster sort."""
+        plan = plan_of(entrymod.queries()["doc_cluster_reps"](spark, SF))
+        assert "Window" not in plan
+        assert "max_by" in plan or "ObjectHashAggregate" in plan
+
+    def test_span_novelty_no_window_no_cartesian(self, spark, entrymod):
+        """novelty is two hash aggregations (span-keyed min, id-keyed
+        rollup) — no window, no cross join, spans built scan-side."""
+        plan = plan_of(entrymod.queries()["doc_span_novelty"](spark, SF))
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_source_overlap_prunes_corpus_to_id_source(self, spark,
+                                                       entrymod):
+        """the syndication rollup touches only (doc_id, source) on the
+        corpus side — text never enters the pair joins. (The pair INPUT
+        legitimately reads text once, inside the persisted signature
+        frame's lineage; the source-tagging scans must stay 2-column.)"""
+        df = entrymod.queries()["doc_source_overlap"](spark, SF)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        src_scans = [l for l in plan.splitlines()
+                     if "FileScan" in l and "source#" in l]
+        assert src_scans and all("text" not in l for l in src_scans)
