@@ -1082,27 +1082,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     _stream_dedup_seq = [0]
 
-    def doc_streaming_exact_dedup(spark, sf_dir):
-        # the STREAMING exact-dedup operator (applyInPandasWithState) run
-        # to batch equivalence: documents split into ascending-doc_id
-        # micro-batch files (so the first batch containing a text holds
-        # its global min id and the streaming survivor set equals the
-        # batch exact_dedup answer), fed through availableNow triggers,
-        # survivors collected from the memory sink.
-        # Batch count is a fixed cost (~full trigger cycle each, the
-        # suite's single biggest fixed cost pre-r5): 2 batches already
-        # prove cross-batch suppression (state survives a trigger
-        # boundary); LPS_STREAM_BATCHES=4 reproduces the r4 protocol.
+    def _staged_doc_batches(spark, sf_dir, n_b):
+        # documents split into ascending-doc_id micro-batch files so the
+        # first batch containing a text/band holds its global min id and
+        # streaming first-seen equals the batch min-id answer. Dir name
+        # embeds the batch count: switching LPS_STREAM_BATCHES must not
+        # silently reuse a differently-split staging dir.
         import glob as _glob
         import shutil as _shutil
 
-        from logparse_rs_spark.streaming.stateful import (
-            streaming_exact_dedup)
-
-        n_b = max(1, int(os.environ.get("LPS_STREAM_BATCHES", "2")))
         tag = _sf_tag(sf_dir)
-        # dir name embeds the batch count: switching LPS_STREAM_BATCHES
-        # must not silently reuse a differently-split staging dir
         src = os.path.join(FIXTURE_ROOT, f"docstream_{tag}_b{n_b}")
         if not os.path.isdir(src) or not _glob.glob(
                 os.path.join(src, "b*.parquet")):
@@ -1124,6 +1113,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 # the file source triggers oldest-mtime-first: pin the
                 # batch order to the id order explicitly
                 os.utime(dest, (1_000_000_000 + b, 1_000_000_000 + b))
+        return src
+
+    def doc_streaming_exact_dedup(spark, sf_dir):
+        # the STREAMING exact-dedup operator (applyInPandasWithState) run
+        # to batch equivalence: documents split into ascending-doc_id
+        # micro-batch files (so the first batch containing a text holds
+        # its global min id and the streaming survivor set equals the
+        # batch exact_dedup answer), fed through availableNow triggers,
+        # survivors collected from the memory sink.
+        # Batch count is a fixed cost (~full trigger cycle each, the
+        # suite's single biggest fixed cost pre-r5): 2 batches already
+        # prove cross-batch suppression (state survives a trigger
+        # boundary); LPS_STREAM_BATCHES=4 reproduces the r4 protocol.
+        import shutil as _shutil
+
+        from logparse_rs_spark.streaming.stateful import (
+            streaming_exact_dedup)
+
+        n_b = max(1, int(os.environ.get("LPS_STREAM_BATCHES", "2")))
+        src = _staged_doc_batches(spark, sf_dir, n_b)
         stream = (spark.readStream.schema("doc_id long, text string")
                   .option("maxFilesPerTrigger", 1).parquet(src))
         _stream_dedup_seq[0] += 1
@@ -1139,6 +1148,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             _shutil.rmtree(ckpt, ignore_errors=True)
         return spark.table(name).select("doc_id")
+
+    def doc_streaming_fuzzy_dedup(spark, sf_dir):
+        # STREAMING near-dup state: the minhash band registry
+        # (applyInPandasWithState keyed by (band, bucket) — first owner
+        # per bucket, min id within a micro-batch, earlier batch wins
+        # across batches). Batches ascend by doc_id, so the streamed
+        # first-owner table equals the batch min-id-per-bucket answer;
+        # SURVIVORS = docs owning ALL their buckets (any lost bucket is a
+        # same-band collision with earlier content). The DuckDB oracle
+        # replays ownership from the aux signature parquet — the same
+        # sig-slice banding, engine-independently.
+        import shutil as _shutil
+
+        from logparse_rs_spark.operators.dedup import _banded
+        from logparse_rs_spark.streaming.stateful import (
+            streaming_band_registry)
+
+        n_b = max(1, int(os.environ.get("LPS_STREAM_BATCHES", "2")))
+        src = _staged_doc_batches(spark, sf_dir, n_b)
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        _stream_dedup_seq[0] += 1
+        name = f"band_registry_{_stream_dedup_seq[0]}"
+        ckpt = _stream_checkpoint()
+        try:
+            with _bounded_state_partitions(spark, 8):
+                q = (streaming_band_registry(stream).writeStream
+                     .outputMode("append").format("memory").queryName(name)
+                     .option("checkpointLocation", ckpt)
+                     .trigger(availableNow=True).start())
+                q.awaitTermination()
+        finally:
+            _shutil.rmtree(ckpt, ignore_errors=True)
+        registry = (spark.table(name)
+                    .select("band", "bucket",
+                            F.col("doc_id").alias("_owner")))
+        # batch-side survivor decision from the STREAMED registry: every
+        # (band, bucket) of the doc must be owned by the doc itself
+        mine = _banded(_doc_sigs(spark, sf_dir), "doc_id", 16, 64)
+        return (mine.join(registry, ["band", "bucket"])
+                .groupBy("doc_id")
+                .agg(F.sum((F.col("_owner") != F.col("doc_id"))
+                           .cast("int")).alias("_lost"))
+                .filter(F.col("_lost") == 0)
+                .select("doc_id"))
 
     def events_running_total(spark, sf_dir):
         # per-user running purchase total in exact integer cents (floats
@@ -1874,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cluster_reps": doc_cluster_reps,
         "doc_span_novelty": doc_span_novelty,
         "doc_source_overlap": doc_source_overlap,
+        "doc_streaming_fuzzy_dedup": doc_streaming_fuzzy_dedup,
         "log_route_counts": log_route_counts,
         "log_integrity_table": log_integrity_table,
         "doc_exact_dedup": doc_exact_dedup,
@@ -2636,6 +2691,23 @@ def oracle_sql() -> dict[str, str]:
                FROM m GROUP BY source_a, source_b)
         SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs
         FROM np JOIN nd USING (source_a, source_b)
+    """
+    # streaming-fuzzy-dedup oracle: replay bucket ownership from the aux
+    # signature parquet (the same sig-slice banding as doc_minhash_pairs);
+    # owner = min doc_id per (band, slice), survivor = owns ALL its bands.
+    # Valid because the stream's micro-batches ascend by doc_id, so
+    # streamed first-seen == global min id.
+    d["doc_streaming_fuzzy_dedup"] = f"""
+        WITH b AS (
+          SELECT doc_id, band, sig[band*4+1 : band*4+4] AS key
+          FROM {DOC_AUX}
+          CROSS JOIN (SELECT unnest(range(16)) AS band)),
+        own AS (SELECT band, key, MIN(doc_id) AS owner
+                FROM b GROUP BY band, key)
+        SELECT b.doc_id
+        FROM b JOIN own ON b.band = own.band AND b.key = own.key
+        GROUP BY b.doc_id
+        HAVING SUM(CASE WHEN own.owner = b.doc_id THEN 0 ELSE 1 END) = 0
     """
     # contamination oracle compares via the n-gram STRINGS (the Spark side
     # joins on xxhash64 of the same strings; identical counts unless the

@@ -146,3 +146,59 @@ def streaming_exact_dedup(docs_stream: DataFrame, text_col: str = "text",
     return keyed.groupBy("text_key").applyInPandasWithState(
         update, DEDUP_OUTPUT, DEDUP_STATE, "append",
         GroupStateTimeout.NoTimeout)
+
+
+BAND_REG_OUTPUT = T.StructType([
+    T.StructField("band", T.IntegerType()),
+    T.StructField("bucket", T.LongType()),
+    T.StructField("doc_id", T.LongType()),
+])
+BAND_REG_STATE = T.StructType([T.StructField("taken", T.BooleanType())])
+
+
+def streaming_band_registry(docs_stream: DataFrame, bands: int = 16,
+                            num_perm: int = 64, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Incremental NEAR-dup state over a document stream: the minhash
+    band registry. Each arriving doc computes its signature (stateless
+    Arrow UDF) and explodes into (band, bucket) keys — the same banding
+    as the batch LSH pair join (dedup._banded, identical xxhash64
+    bucketing). State = one claimed flag per (band, bucket); the
+    operator emits each bucket's FIRST owner exactly once across the
+    stream's lifetime (within a micro-batch the min id wins, matching
+    the batch tie-break). A doc that owns ALL of its buckets is novel;
+    any lost bucket means a same-band collision with earlier content —
+    the streaming analogue of incremental fuzzy dedup, with the batch
+    minhash_lsh_pairs path as backfill/compaction.
+
+    Scale shape: state is sharded by (band, bucket) across executors —
+    bands multiply the key space, not the per-key state (one boolean);
+    at ingest scale pair with the RocksDB state store provider exactly
+    like streaming_exact_dedup."""
+    from ..operators.dedup import _banded, minhash_signatures
+
+    sigs = minhash_signatures(docs_stream, text_col=text_col,
+                              id_col=id_col, num_perm=num_perm)
+    banded = _banded(sigs, id_col, bands, num_perm)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            for _ in pdfs:
+                pass
+            yield pd.DataFrame({"band": [], "bucket": [], "doc_id": []})
+            return
+        first = None
+        for p in pdfs:
+            if len(p):
+                m = int(p[id_col].min())
+                first = m if first is None else min(first, m)
+        state.update((True,))
+        if first is None:
+            yield pd.DataFrame({"band": [], "bucket": [], "doc_id": []})
+        else:
+            yield pd.DataFrame({"band": [key[0]], "bucket": [key[1]],
+                                "doc_id": [first]})
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update, BAND_REG_OUTPUT, BAND_REG_STATE, "append",
+        GroupStateTimeout.NoTimeout)

@@ -47,7 +47,8 @@ def test_never_checked_queries_form_the_dict_prefix():
                        "doc_shard_assign", "log_crawl_delta",
                        "doc_train_eval_split", "log_url_policy_hosted",
                        "doc_softdedup_weights", "doc_cluster_reps",
-                       "doc_span_novelty", "doc_source_overlap"], (
+                       "doc_span_novelty", "doc_source_overlap",
+                       "doc_streaming_fuzzy_dedup"], (
         "only the designated low-risk queries may sit past slot 50")
 
 

@@ -438,3 +438,57 @@ class TestStreamStreamIntervalJoin:
         got = sorted((r["event_id"], r["click_id"])
                      for r in spark.table("ssj_test").collect())
         assert got == [(201, 101), (204, 103), (205, 102)]
+
+
+class TestStreamingBandRegistry:
+    def test_cross_batch_near_dup_suppression(self, spark, tmp_path):
+        """A later-batch NEAR-duplicate (one char changed in a long text)
+        must lose its band buckets to the earlier doc; a genuinely novel
+        doc owns all its buckets."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from logparse_rs_spark.streaming.stateful import (
+            streaming_band_registry)
+
+        base = ("the quick brown fox jumps over the lazy dog and keeps "
+                "running through the endless deterministic meadow " * 4)
+        near = base.replace("meadow", "meadoq", 1)  # 1-char near-dup
+        novel = ("completely different content about spark structured "
+                 "streaming state stores and arrow batches " * 4)
+        src = tmp_path / "band_stream"
+        src.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array([base]),
+        }), str(src / "b1.parquet"))
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([near, novel]),
+        }), str(src / "b2.parquet"))
+        import os
+        os.utime(str(src / "b1.parquet"), (1_000_000_000, 1_000_000_000))
+        os.utime(str(src / "b2.parquet"), (1_000_000_001, 1_000_000_001))
+
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = (streaming_band_registry(stream).writeStream
+             .outputMode("append").format("memory")
+             .queryName("band_reg_test")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        reg = spark.table("band_reg_test").collect()
+        owners = {}
+        for r in reg:
+            owners.setdefault(r["doc_id"], 0)
+            owners[r["doc_id"]] += 1
+        # every bucket emitted exactly once; 16 bands per distinct bucket
+        # set. doc 0 owns all its 16; doc 2 owns all its 16; doc 1 (the
+        # near-dup) lost at least one bucket to doc 0 — a doc that shares
+        # any band with earlier content is flagged.
+        assert owners.get(0) == 16
+        assert owners.get(2) == 16
+        assert owners.get(1, 0) < 16
+        # registry is exactly-once per (band, bucket)
+        keys = [(r["band"], r["bucket"]) for r in reg]
+        assert len(keys) == len(set(keys))
