@@ -1535,6 +1535,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.col("pr").alias("pagerank"))
                 .orderBy(F.desc("pagerank"), F.asc("host")).limit(20))
 
+    def log_anchor_terms(spark, sf_dir):
+        # per-destination-host anchor-TEXT profile (the off-page
+        # relevance signal search engines aggregate per target): one
+        # whole-anchor scan-side explode of the raw html bytes; the
+        # aggregate key space is |hosts| x |anchor vocab|-bounded so
+        # map-side partials collapse it before the one small shuffle.
+        from logparse_rs_spark.operators.links import anchor_text_terms
+        pages_path, _ = _fixture_paths(sf_dir)
+        pages = spark.read.parquet(pages_path).select("url", "html")
+        return (anchor_text_terms(pages)
+                .orderBy(F.desc("n_anchors"), F.asc("dst_host"),
+                         F.asc("term"))
+                .limit(50))
+
     def events_scd2_versions(spark, sf_dir):
         # SCD2 validity intervals over each user's signup stream: version
         # number, [valid_from, valid_to) in epoch micros, is_current flag.
@@ -1895,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_active": events_sliding_active,
         "log_link_hosts": log_link_hosts,
         "log_host_pagerank": log_host_pagerank,
+        "log_anchor_terms": log_anchor_terms,
         "doc_bloom_new_docs": doc_bloom_new_docs,
         "emb_kmeans_assign": emb_kmeans_assign,
         "doc_fuzzy_incremental": doc_fuzzy_incremental,
@@ -4005,6 +4020,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM deg LEFT JOIN in3 ON deg.s = in3.node)
         SELECT node AS host, pr AS pagerank FROM pr3
         ORDER BY pagerank DESC, host ASC LIMIT 20
+    """
+    d["log_anchor_terms"] = f"""
+        WITH raw AS (SELECT unnest(regexp_extract_all(decode(html),
+                       '(<a href="[^"]*">[^<]*</a>)', 1)) AS a
+              FROM read_parquet('{pages_path}')),
+        x AS (SELECT regexp_extract(regexp_extract(a, 'href="([^"]+)"', 1),
+                       '^https?://([^/]+)', 1) AS dst_host,
+                     unnest(string_split_regex(
+                       lower(regexp_extract(a, '>([^<]*)</a>', 1)),
+                       '{WSP}')) AS term
+              FROM raw)
+        SELECT dst_host, term, COUNT(*)::BIGINT AS n_anchors
+        FROM x WHERE dst_host <> '' AND term <> ''
+        GROUP BY dst_host, term
+        ORDER BY n_anchors DESC, dst_host ASC, term ASC LIMIT 50
     """
     d["events_scd2_versions"] = """
         SELECT user_id, event_id,

@@ -33,6 +33,12 @@ from pyspark.sql import functions as F
 # lookarounds, no \b)
 HREF_PATTERN = r'href="([^"]+)"'
 HOST_PATTERN = r"^https?://([^/]+)"
+# whole-anchor matcher (group 1 = the full tag incl. inner text): the
+# href and the visible text are re-extracted from the SMALL exploded
+# anchor strings, so the two-group capture limit of regexp_extract_all
+# never matters and the html scan stays single-pass
+ANCHOR_PATTERN = r'(<a href="[^"]*">[^<]*</a>)'
+ANCHOR_TEXT_PATTERN = r">([^<]*)</a>"
 
 
 def extract_links(pages: DataFrame, url_col: str = "url",
@@ -59,3 +65,44 @@ def host_edges(pages: DataFrame, url_col: str = "url",
             .filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
             .groupBy("src_host", "dst_host")
             .agg(F.count("*").alias("n_links")))
+
+
+def extract_anchors(pages: DataFrame, url_col: str = "url",
+                    html_col: str = "html") -> DataFrame:
+    """(src_url, href, anchor_text) from every anchor — link extraction
+    plus the VISIBLE link text, the classic off-page relevance/quality
+    signal (anchor text describes the TARGET; web search engines and
+    crawl-corpus curators aggregate it per destination). One scan-side
+    whole-anchor explode; href and text re-extract from the small
+    exploded strings, so the 10^12-page html scan stays single-pass and
+    the bytes never shuffle."""
+    anchors = F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(ANCHOR_PATTERN), 1)
+    a = (pages.select(F.col(url_col).alias("src_url"),
+                      F.explode(anchors).alias("_a")))
+    return a.select(
+        "src_url",
+        F.regexp_extract(F.col("_a"), HREF_PATTERN, 1).alias("href"),
+        F.regexp_extract(F.col("_a"), ANCHOR_TEXT_PATTERN, 1)
+        .alias("anchor_text"))
+
+
+def anchor_text_terms(pages: DataFrame, url_col: str = "url",
+                      html_col: str = "html") -> DataFrame:
+    """Per-destination-host anchor-term profile: (dst_host, term,
+    n_anchors) with terms lowercased and whitespace-split. The aggregate
+    key space is |hosts| x |anchor vocab|-bounded — far smaller than the
+    per-page anchor stream — so map-side partials collapse it before the
+    one small shuffle, same shape as host_edges."""
+    from logparse_rs_spark.operators.dedup import WORD_SPLIT_CLASS
+    anchors = extract_anchors(pages, url_col=url_col, html_col=html_col)
+    dst_host = F.regexp_extract(F.col("href"), HOST_PATTERN, 1)
+    # explicit whitespace class shared with the oracles (Java \s and RE2
+    # \s disagree on \x0B — ADVICE r3)
+    terms = F.explode(F.split(F.lower(F.col("anchor_text")),
+                              WORD_SPLIT_CLASS))
+    return (anchors.select(dst_host.alias("dst_host"),
+                           terms.alias("term"))
+            .filter((F.col("dst_host") != "") & (F.col("term") != ""))
+            .groupBy("dst_host", "term")
+            .agg(F.count("*").alias("n_anchors")))

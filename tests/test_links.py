@@ -48,6 +48,46 @@ class TestHostEdges:
         assert "Join" not in plan
 
 
+class TestExtractAnchors:
+    def test_href_and_visible_text(self, spark):
+        from logparse_rs_spark.operators.links import extract_anchors
+        rows = [
+            ("https://a.example.com/p1",
+             b'<html><body><a href="https://b.example.com/x">Big News</a>'
+             b'<a href="https://c.example.com/y"></a>'
+             b'<pre>t</pre></body></html>'),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        got = sorted((r["href"], r["anchor_text"])
+                     for r in extract_anchors(pages).collect())
+        assert got == [("https://b.example.com/x", "Big News"),
+                       ("https://c.example.com/y", "")]
+
+    def test_anchor_terms_profile(self, spark):
+        from logparse_rs_spark.operators.links import anchor_text_terms
+        rows = [
+            ("https://a.example.com/p1",
+             b'<a href="https://b.example.com/x">Hot News</a>'
+             b'<a href="https://b.example.com/y">news today</a>'
+             b'<a href="/rel">dropped host</a>'),
+            ("https://c.example.com/p2",
+             b'<a href="https://b.example.com/z">NEWS</a>'),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        got = {(r["dst_host"], r["term"]): r["n_anchors"]
+               for r in anchor_text_terms(pages).collect()}
+        assert got == {("b.example.com", "news"): 3,
+                       ("b.example.com", "hot"): 1,
+                       ("b.example.com", "today"): 1}
+
+    def test_scan_side_no_python_no_join(self, spark, pages):
+        from logparse_rs_spark.operators.links import anchor_text_terms
+        plan = (anchor_text_terms(pages)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "Join" not in plan
+
+
 class TestFixtureLinks:
     def test_fixture_pages_carry_deterministic_anchors(self, spark):
         from logparse_rs_spark.fixtures import make_page, _idx_map
@@ -60,3 +100,19 @@ class TestFixtureLinks:
         # across a window of pages, at least one page links out
         htmls = [make_page(s, idx)["html"] for s in range(20)]
         assert any(b"<a href=" in h for h in htmls)
+
+    def test_fixture_anchor_text_from_vocab(self, spark):
+        # v3: anchor inner text is a pure function of the target id,
+        # drawn from ANCHOR_VOCAB — deterministic and rng-stream-free
+        import re
+        from logparse_rs_spark.fixtures import (make_page, _idx_map,
+                                                ANCHOR_VOCAB)
+        idx = _idx_map()
+        texts = []
+        for s in range(40):
+            h = make_page(s, idx)["html"].decode("utf-8")
+            texts += re.findall(r'">([^<]*)</a>', h)
+        assert texts, "expected at least one anchor in 40 pages"
+        for t in texts:
+            w = t.split(" ")
+            assert len(w) == 2 and all(x in ANCHOR_VOCAB for x in w)
