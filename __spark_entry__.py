@@ -1549,6 +1549,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.asc("term"))
                 .limit(50))
 
+    def log_host_hits(spark, sf_dir):
+        # HITS hubs/authorities over the REAL extracted DIRECTED host
+        # graph in exact integer fixed-point (max-normalized per round,
+        # scale=1e6) — PageRank's classic companion link-quality signal.
+        # Reuses the session-shared host-edges frame; per round the
+        # |hosts|-sized score frames shuffle, never the pages.
+        from logparse_rs_spark.operators.graph import hits_integer
+        e = (_host_edges(spark, sf_dir)
+             .filter(F.col("src_host") != F.col("dst_host"))
+             .select("src_host", "dst_host").distinct())
+        out = hits_integer(e, iterations=2, scale=10**6,
+                           src="src_host", dst="dst_host")
+        return (out.select(F.col("node").alias("host"), "hub", "auth")
+                .orderBy(F.desc("auth"), F.desc("hub"), F.asc("host"))
+                .limit(20))
+
+    def log_reciprocal_hosts(spark, sf_dir):
+        # link-farm first-pass filter: per-host reciprocal-link rate in
+        # exact ppm over the distinct directed host edge set (organic
+        # linking is asymmetric; near-1.0 reciprocity over a large
+        # out-set is the link-exchange signature). One semi self-join on
+        # the reversed key — host-pair-bounded frames only.
+        from logparse_rs_spark.operators.graph import reciprocal_link_stats
+        out = reciprocal_link_stats(_host_edges(spark, sf_dir))
+        return (out.select(F.col("node").alias("host"), "n_out",
+                           "n_recip", "recip_ppm")
+                .orderBy(F.desc("recip_ppm"), F.desc("n_out"),
+                         F.asc("host"))
+                .limit(30))
+
     def events_scd2_versions(spark, sf_dir):
         # SCD2 validity intervals over each user's signup stream: version
         # number, [valid_from, valid_to) in epoch micros, is_current flag.
@@ -1910,6 +1940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_link_hosts": log_link_hosts,
         "log_host_pagerank": log_host_pagerank,
         "log_anchor_terms": log_anchor_terms,
+        "log_host_hits": log_host_hits,
+        "log_reciprocal_hosts": log_reciprocal_hosts,
         "doc_bloom_new_docs": doc_bloom_new_docs,
         "emb_kmeans_assign": emb_kmeans_assign,
         "doc_fuzzy_incremental": doc_fuzzy_incremental,
@@ -4035,6 +4067,64 @@ def oracle_sql() -> dict[str, str]:
         FROM x WHERE dst_host <> '' AND term <> ''
         GROUP BY dst_host, term
         ORDER BY n_anchors DESC, dst_host ASC, term ASC LIMIT 50
+    """
+    d["log_host_hits"] = f"""
+        WITH raw AS (SELECT url,
+                unnest(regexp_extract_all(decode(html),
+                       'href="([^"]+)"', 1)) AS href
+              FROM read_parquet('{pages_path}')),
+        e0 AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS s,
+                      regexp_extract(href, '^https?://([^/]+)', 1) AS t
+               FROM raw),
+        e AS (SELECT s, t FROM e0
+              WHERE s <> '' AND t <> '' AND s <> t GROUP BY s, t),
+        nodes AS (SELECT s AS node FROM e UNION SELECT t FROM e),
+        h0 AS (SELECT node, 1000000::BIGINT AS hub FROM nodes),
+        a1r AS (SELECT e.t AS node, SUM(h0.hub) AS raw
+                FROM e JOIN h0 ON e.s = h0.node GROUP BY e.t),
+        a1 AS (SELECT n.node, COALESCE((a1r.raw * 1000000)
+                     // (SELECT MAX(raw) FROM a1r), 0)::BIGINT AS auth
+               FROM nodes n LEFT JOIN a1r ON n.node = a1r.node),
+        h1r AS (SELECT e.s AS node, SUM(a1.auth) AS raw
+                FROM e JOIN a1 ON e.t = a1.node GROUP BY e.s),
+        h1 AS (SELECT n.node, COALESCE((h1r.raw * 1000000)
+                     // (SELECT MAX(raw) FROM h1r), 0)::BIGINT AS hub
+               FROM nodes n LEFT JOIN h1r ON n.node = h1r.node),
+        a2r AS (SELECT e.t AS node, SUM(h1.hub) AS raw
+                FROM e JOIN h1 ON e.s = h1.node GROUP BY e.t),
+        a2 AS (SELECT n.node, COALESCE((a2r.raw * 1000000)
+                     // (SELECT MAX(raw) FROM a2r), 0)::BIGINT AS auth
+               FROM nodes n LEFT JOIN a2r ON n.node = a2r.node),
+        h2r AS (SELECT e.s AS node, SUM(a2.auth) AS raw
+                FROM e JOIN a2 ON e.t = a2.node GROUP BY e.s),
+        h2 AS (SELECT n.node, COALESCE((h2r.raw * 1000000)
+                     // (SELECT MAX(raw) FROM h2r), 0)::BIGINT AS hub
+               FROM nodes n LEFT JOIN h2r ON n.node = h2r.node)
+        SELECT h2.node AS host, h2.hub, a2.auth
+        FROM h2 JOIN a2 ON h2.node = a2.node
+        ORDER BY auth DESC, hub DESC, host ASC LIMIT 20
+    """
+    d["log_reciprocal_hosts"] = f"""
+        WITH raw AS (SELECT url,
+                unnest(regexp_extract_all(decode(html),
+                       'href="([^"]+)"', 1)) AS href
+              FROM read_parquet('{pages_path}')),
+        e0 AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS s,
+                      regexp_extract(href, '^https?://([^/]+)', 1) AS t
+               FROM raw),
+        e AS (SELECT s, t FROM e0
+              WHERE s <> '' AND t <> '' AND s <> t GROUP BY s, t),
+        o AS (SELECT s AS node, COUNT(*)::BIGINT AS n_out
+              FROM e GROUP BY s),
+        r AS (SELECT e.s AS node, COUNT(*)::BIGINT AS n_recip
+              FROM e JOIN e e2 ON e.s = e2.t AND e.t = e2.s
+              GROUP BY e.s)
+        SELECT o.node AS host, o.n_out,
+               COALESCE(r.n_recip, 0)::BIGINT AS n_recip,
+               (COALESCE(r.n_recip, 0) * 1000000 // o.n_out)::BIGINT
+                 AS recip_ppm
+        FROM o LEFT JOIN r ON o.node = r.node
+        ORDER BY recip_ppm DESC, n_out DESC, host ASC LIMIT 30
     """
     d["events_scd2_versions"] = """
         SELECT user_id, event_id,

@@ -271,3 +271,111 @@ def pagerank_integer(pairs: DataFrame, iterations: int = 3,
                               "AS BIGINT)")).alias("pr")),
             eager=False)
     return pr
+
+
+def hits_integer(edges: DataFrame, iterations: int = 2,
+                 scale: int = 10**6, src: str = "src",
+                 dst: str = "dst") -> DataFrame:
+    """HITS hubs-and-authorities over a DIRECTED edge set in EXACT INTEGER
+    arithmetic — the classic complement to PageRank on a web host graph
+    (Kleinberg, "Authoritative Sources in a Hyperlinked Environment",
+    JACM'99): authorities are pages many good hubs point TO, hubs are
+    pages that point to many good authorities. Together with PageRank it
+    is the standard pair of link-quality signals a crawl-corpus curator
+    ranks hosts by.
+
+    Determinism: scores live in fixed-point units of ``scale`` (the
+    per-round maximum normalizes to exactly ``scale``). Each round is
+    ``auth_raw(t) = SUM(hub(s))`` over in-edges, then ``auth = (auth_raw
+    * scale) DIV max(auth_raw)``, then the mirrored hub update from the
+    NEW auth — integer sums and integer division only, so any two engines
+    produce bit-identical scores (float HITS diverges in the last ulps).
+    Max-normalization replaces the float L2 norm; it preserves per-round
+    rank order exactly.
+
+    Overflow bound (the exact-integer contract): ``auth_raw <= d_in_max *
+    scale`` and the normalization product ``auth_raw * scale`` must stay
+    inside BIGINT, so ``d_max * scale^2 < 2^63`` — at the default
+    scale=1e6 that is d_max < 9.2e6 distinct in- (or out-) neighbors per
+    node; pick ``scale <= sqrt(2^63 / d_max)`` for denser graphs. Spark
+    (non-ANSI) would WRAP silently past the bound while DuckDB errors, so
+    size ``scale`` first (same contract note as ``pagerank_integer``).
+
+    Scale shape: per round, two narrow (key, long) joins of the edge list
+    against a node-score frame + two groupBy-sums + two 1-row max
+    aggregates broadcast back — the same shuffle class as a PageRank
+    round. Edges are materialized once; lineage is truncated per round.
+
+    Caller supplies the edge SET (dedupe/self-loop policy is the
+    caller's). Returns (node, hub BIGINT, auth BIGINT) for every node;
+    ``node`` inherits the input id type.
+    """
+    if iterations < 1:
+        raise ValueError("hits_integer needs iterations >= 1")
+    e = _truncate(edges.select(F.col(src).alias("s"),
+                               F.col(dst).alias("t")), eager=True)
+    nodes = e.select(F.col("s").alias("node")).union(
+        e.select(F.col("t").alias("node"))).distinct()
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (e.join(hub.withColumnRenamed("node", "s"), "s")
+                 .groupBy(F.col("t").alias("node"))
+                 .agg(F.sum("hub").alias("raw")))
+        a_max = F.broadcast(a_raw.agg(F.max("raw").alias("mx")))
+        auth = _truncate(
+            nodes.join(a_raw, "node", "left").crossJoin(a_max)
+            .select("node",
+                    F.coalesce(
+                        F.expr(f"CAST(raw * {scale} DIV mx AS BIGINT)"),
+                        F.lit(0).cast("long")).alias("auth")),
+            eager=False)
+        h_raw = (e.join(auth.withColumnRenamed("node", "t"), "t")
+                 .groupBy(F.col("s").alias("node"))
+                 .agg(F.sum("auth").alias("raw")))
+        h_max = F.broadcast(h_raw.agg(F.max("raw").alias("mx")))
+        hub = _truncate(
+            nodes.join(h_raw, "node", "left").crossJoin(h_max)
+            .select("node",
+                    F.coalesce(
+                        F.expr(f"CAST(raw * {scale} DIV mx AS BIGINT)"),
+                        F.lit(0).cast("long")).alias("hub")),
+            eager=False)
+    return hub.join(auth, "node")
+
+
+def reciprocal_link_stats(edges: DataFrame, src: str = "src_host",
+                          dst: str = "dst_host",
+                          min_out: int = 1) -> DataFrame:
+    """Per-source reciprocal-link profile over a DIRECTED edge set:
+    (node, n_out, n_recip, recip_ppm) where ``n_out`` counts distinct
+    out-neighbors, ``n_recip`` counts those that link BACK, and
+    ``recip_ppm = n_recip * 1e6 DIV n_out`` (exact integer parts per
+    million). A near-1.0 reciprocal rate over a large out-set is the
+    classic link-farm / link-exchange signature (organic linking is
+    strongly asymmetric), so this is the first-pass spam-domain filter a
+    link-graph curator runs before trusting PageRank/HITS scores.
+
+    Scale shape: self-loops drop scan-side, the edge set dedupes on
+    (s, t), and reciprocation is one LEFT SEMI self-join on the reversed
+    key — the |host-pairs|-bounded frames shuffle, never the pages that
+    produced them. Everything is JVM-side; works on any equi-joinable id
+    type.
+    """
+    e = (edges.filter(F.col(src) != F.col(dst))
+         .select(F.col(src).alias("s"), F.col(dst).alias("t"))
+         .distinct())
+    recip = e.join(e.select(F.col("t").alias("s"), F.col("s").alias("t")),
+                   ["s", "t"], "left_semi")
+    n_out = e.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("n_out"))
+    n_rec = recip.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("n_recip"))
+    return (n_out.join(n_rec, "node", "left")
+            .select("node", "n_out",
+                    F.coalesce("n_recip", F.lit(0).cast("long"))
+                    .alias("n_recip"))
+            .filter(F.col("n_out") >= min_out)
+            .withColumn("recip_ppm",
+                        F.expr("CAST(n_recip * 1000000 DIV n_out "
+                               "AS BIGINT)")))
