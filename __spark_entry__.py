@@ -1579,6 +1579,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.asc("host"))
                 .limit(30))
 
+    def log_host_triangles(spark, sf_dir):
+        # link-community density over the extracted host graph: per-host
+        # triangle counts via degree-ordered wedge enumeration (the
+        # celebrity-node-safe form; the triangle set is identical to the
+        # naive enumeration the oracle uses). Follows up the reciprocal-
+        # rate filter — link farms are near-cliques.
+        from logparse_rs_spark.operators.graph import triangle_counts
+        out = triangle_counts(_host_edges(spark, sf_dir),
+                              src="src_host", dst="dst_host")
+        return (out.select(F.col("node").alias("host"), "n_triangles")
+                .orderBy(F.desc("n_triangles"), F.asc("host"))
+                .limit(30))
+
+    def doc_sequential_ids(spark, sf_dir):
+        # dense 0-based corpus ordinals in (lang, doc_id) order without a
+        # global sort: range-partition + frozen layout + broadcast prefix
+        # offsets (the scalable zipWithIndex; one corpus shuffle).
+        from logparse_rs_spark.operators.curate import sequential_ids
+        d = _docs(spark, sf_dir).select("doc_id", "lang")
+        return (sequential_ids(d, ["lang", "doc_id"], out_col="seq_id")
+                .select("doc_id", "lang", "seq_id")
+                .orderBy("seq_id"))
+
     def events_scd2_versions(spark, sf_dir):
         # SCD2 validity intervals over each user's signup stream: version
         # number, [valid_from, valid_to) in epoch micros, is_current flag.
@@ -1942,6 +1965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_anchor_terms": log_anchor_terms,
         "log_host_hits": log_host_hits,
         "log_reciprocal_hosts": log_reciprocal_hosts,
+        "log_host_triangles": log_host_triangles,
+        "doc_sequential_ids": doc_sequential_ids,
         "doc_bloom_new_docs": doc_bloom_new_docs,
         "emb_kmeans_assign": emb_kmeans_assign,
         "doc_fuzzy_incremental": doc_fuzzy_incremental,
@@ -4125,6 +4150,33 @@ def oracle_sql() -> dict[str, str]:
                  AS recip_ppm
         FROM o LEFT JOIN r ON o.node = r.node
         ORDER BY recip_ppm DESC, n_out DESC, host ASC LIMIT 30
+    """
+    d["log_host_triangles"] = f"""
+        WITH raw AS (SELECT url,
+                unnest(regexp_extract_all(decode(html),
+                       'href="([^"]+)"', 1)) AS href
+              FROM read_parquet('{pages_path}')),
+        e0 AS (SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS s,
+                      regexp_extract(href, '^https?://([^/]+)', 1) AS t
+               FROM raw),
+        und AS (SELECT LEAST(s, t) AS a, GREATEST(s, t) AS b FROM e0
+                WHERE s <> '' AND t <> '' AND s <> t GROUP BY 1, 2),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        c AS (SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        SELECT node AS host, COUNT(*)::BIGINT AS n_triangles
+        FROM c GROUP BY node
+        ORDER BY n_triangles DESC, host ASC LIMIT 30
+    """
+    d["doc_sequential_ids"] = """
+        SELECT doc_id, lang,
+               (ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1)::BIGINT
+                 AS seq_id
+        FROM documents ORDER BY seq_id
     """
     d["events_scd2_versions"] = """
         SELECT user_id, event_id,

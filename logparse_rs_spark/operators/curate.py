@@ -460,3 +460,57 @@ def shard_assign_balanced(docs: DataFrame, n_shards: int = 8,
         "shard",
         F.when(F.pmod(F.expr(f"rank DIV {n_shards}"), F.lit(2)) == 0, pos)
         .otherwise(F.lit(n_shards - 1) - pos).cast("bigint"))
+
+
+def sequential_ids(df: DataFrame, key_cols: Sequence[str],
+                   out_col: str = "seq_id",
+                   num_partitions: int = 0) -> DataFrame:
+    """Contiguous 0-based ordinals in ``key_cols`` order WITHOUT a global
+    sort — the scalable form of zipWithIndex, and the standard packaging
+    step that gives every training document a stable dense id (sample
+    indexing, resume bookkeeping, deterministic data order).
+
+    A plain ``row_number() OVER (ORDER BY key)`` single-partitions the
+    corpus. This decomposes the total order the classic two-phase way:
+    range-partition on the key (ordered, non-overlapping partitions),
+    freeze the layout, then ``ordinal = offset(partition) + local rank``
+    where the offsets are a prefix sum over the NUM-PARTITIONS-sized
+    count frame (broadcast back) and the local rank is a per-partition
+    window. One corpus shuffle total; the only unpartitioned window runs
+    over the partition-count frame. Complements ``shard_assign_balanced``
+    which decomposes via a VALUE histogram: that form needs bounded key
+    cardinality, this form needs key UNIQUENESS.
+
+    Correctness contract: ``key_cols`` must be a UNIQUE key of ``df``.
+    The sampled range boundaries do not affect the result for unique keys
+    (an ordinal is a property of the global order, wherever the cut
+    lands), but EQUAL keys straddling a boundary would receive
+    partition-dependent ordinals — add a tiebreaker column instead.
+
+    Returns the input columns + ``out_col`` (BIGINT, 0-based, dense).
+    """
+    from pyspark.sql import Window
+
+    from .graph import _truncate
+
+    keys = [F.col(k) for k in key_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # freeze the range layout before reading spark_partition_id twice
+    # (counts + local ranks must see the SAME physical placement)
+    part = _truncate(df.repartitionByRange(n, *keys)
+                     .withColumn("_pid", F.spark_partition_id()),
+                     eager=True)
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # prefix offsets over the partition-count frame (bounded: one row per
+    # shuffle partition; constant partition key = intent-explicit)
+    wh = (Window.partitionBy(F.lit(0)).orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(wh),
+                           F.lit(0)).alias("_off"))
+    wl = Window.partitionBy("_pid").orderBy(*keys)
+    return (part.join(F.broadcast(off), "_pid")
+            .withColumn(out_col,
+                        (F.col("_off") + F.row_number().over(wl) - 1)
+                        .cast("bigint"))
+            .drop("_pid", "_off"))

@@ -100,3 +100,86 @@ class TestReciprocalLinkStats:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestTriangleCounts:
+    def test_k4_hand_case(self, spark):
+        from logparse_rs_spark.operators.graph import triangle_counts
+        # complete graph on 4 nodes: C(3,2)=3 triangles per node, fed as
+        # MESSY directed input (duplicates, both directions, a self-loop)
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (2, 1), (4, 3), (1, 2), (3, 3)]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src", "dst"]))
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(df).collect()}
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_vs_python_and_partitioning(self, spark):
+        import itertools
+        import numpy as np
+        from logparse_rs_spark.operators.graph import triangle_counts
+        rng = np.random.RandomState(11)
+        e = pd.DataFrame({"src": rng.randint(0, 25, 160),
+                          "dst": rng.randint(0, 25, 160)})
+        e = e[e.src != e.dst]
+        und = {tuple(sorted(t)) for t in e.itertuples(index=False)}
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expected = {}
+        for a, b, c in itertools.combinations(sorted(adj), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for n in (a, b, c):
+                    expected[n] = expected.get(n, 0) + 1
+        df = spark.createDataFrame(e)
+        got = sorted(map(tuple, triangle_counts(df).collect()))
+        assert got == sorted(expected.items())
+        re_got = sorted(map(tuple,
+                            triangle_counts(df.repartition(13)).collect()))
+        assert re_got == got
+
+    def test_triangle_free_graph_is_empty(self, spark):
+        from logparse_rs_spark.operators.graph import triangle_counts
+        # a 4-cycle has no triangles
+        df = spark.createDataFrame(
+            pd.DataFrame([(1, 2), (2, 3), (3, 4), (4, 1)],
+                         columns=["src", "dst"]))
+        assert triangle_counts(df).count() == 0
+
+
+class TestSequentialIds:
+    def test_dense_ordinals_match_sorted_order(self, spark):
+        import numpy as np
+        from logparse_rs_spark.operators.curate import sequential_ids
+        rng = np.random.RandomState(5)
+        keys = rng.permutation(1000)[:200]  # unique, shuffled
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": keys, "payload": keys * 7}))
+        out = sequential_ids(df, ["doc_id"], num_partitions=7).collect()
+        got = {r["doc_id"]: r["seq_id"] for r in out}
+        expected = {k: i for i, k in enumerate(sorted(keys))}
+        assert got == expected
+        # payload columns survive
+        assert all(r["payload"] == r["doc_id"] * 7 for r in out)
+
+    def test_composite_key_order(self, spark):
+        from logparse_rs_spark.operators.curate import sequential_ids
+        rows = [("fr", 3), ("en", 9), ("en", 1), ("de", 5)]
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["lang", "doc_id"]))
+        got = {(r["lang"], r["doc_id"]): r["seq_id"]
+               for r in sequential_ids(df, ["lang", "doc_id"],
+                                       num_partitions=3).collect()}
+        assert got == {("de", 5): 0, ("en", 1): 1, ("en", 9): 2,
+                       ("fr", 3): 3}
+
+    def test_more_partitions_than_rows(self, spark):
+        from logparse_rs_spark.operators.curate import sequential_ids
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [2, 1]}))
+        got = {r["doc_id"]: r["seq_id"]
+               for r in sequential_ids(df, ["doc_id"],
+                                       num_partitions=8).collect()}
+        assert got == {1: 0, 2: 1}
