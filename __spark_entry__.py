@@ -1602,6 +1602,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "lang", "seq_id")
                 .orderBy("seq_id"))
 
+    def doc_containment_pairs(spark, sf_dir):
+        # asymmetric containment verify (Broder): subset-shaped
+        # duplication — syndicated excerpts, quoted pages — that
+        # symmetric Jaccard under-scores. Candidates from the session-
+        # shared minhash signatures; exact integer-ppm scores from the
+        # memoized gram-set kernel (no gram arrays in any shuffle).
+        from logparse_rs_spark.operators.dedup import (containment_pairs,
+                                                       minhash_lsh_pairs)
+        pairs = minhash_lsh_pairs(_doc_sigs(spark, sf_dir), bands=16)
+        return containment_pairs(_docs(spark, sf_dir), pairs, n=3,
+                                 min_ppm=800_000)
+
     def events_scd2_versions(spark, sf_dir):
         # SCD2 validity intervals over each user's signup stream: version
         # number, [valid_from, valid_to) in epoch micros, is_current flag.
@@ -1967,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_reciprocal_hosts": log_reciprocal_hosts,
         "log_host_triangles": log_host_triangles,
         "doc_sequential_ids": doc_sequential_ids,
+        "doc_containment_pairs": doc_containment_pairs,
         "doc_bloom_new_docs": doc_bloom_new_docs,
         "emb_kmeans_assign": emb_kmeans_assign,
         "doc_fuzzy_incremental": doc_fuzzy_incremental,
@@ -4177,6 +4190,36 @@ def oracle_sql() -> dict[str, str]:
                (ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1)::BIGINT
                  AS seq_id
         FROM documents ORDER BY seq_id
+    """
+    d["doc_containment_pairs"] = f"""
+        WITH cand AS ({d["doc_minhash_pairs"]}),
+        n AS (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '{WSP}', ' ', 'g')) AS t
+              FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN length(t) >= 3 THEN
+                       list_distinct(list_transform(
+                         range(1, length(t) - 1),
+                         i -> substr(t, i::int, 3)))
+                     ELSE [] END AS grams
+              FROM n),
+        ov AS (SELECT c.id_a, c.id_b,
+                      len(list_intersect(a.grams, b.grams))::BIGINT
+                        AS n_common,
+                      len(a.grams)::BIGINT AS n_a,
+                      len(b.grams)::BIGINT AS n_b
+               FROM cand c
+               JOIN g a ON a.doc_id = c.id_a
+               JOIN g b ON b.doc_id = c.id_b),
+        s AS (SELECT id_a, id_b, n_common, n_a, n_b,
+                     CASE WHEN n_a > 0
+                          THEN n_common * 1000000 // n_a END AS cont_a_ppm,
+                     CASE WHEN n_b > 0
+                          THEN n_common * 1000000 // n_b END AS cont_b_ppm
+              FROM ov)
+        SELECT * FROM s
+        WHERE GREATEST(COALESCE(cont_a_ppm, 0), COALESCE(cont_b_ppm, 0))
+              >= 800000
     """
     d["events_scd2_versions"] = """
         SELECT user_id, event_id,

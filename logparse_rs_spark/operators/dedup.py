@@ -929,3 +929,76 @@ def source_overlap(pairs: DataFrame, docs: DataFrame,
                .groupBy("source_a", "source_b")
                .agg(F.count("*").alias("n_docs")))
     return n_pairs.join(members, ["source_a", "source_b"])
+
+
+def ngram_overlap_pairs_fast(docs: DataFrame, pairs: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             n: int = 3) -> DataFrame:
+    """Exact char-n-gram overlap STATS for candidate pairs: (id_a, id_b,
+    n_common, n_a, n_b) as integers — the primitive under both Jaccard
+    (n_common / (n_a + n_b - n_common)) and the asymmetric CONTAINMENT
+    scores (n_common / n_a, n_common / n_b) that catch subset-shaped
+    duplication (a quote, a syndicated excerpt, a page wrapping another)
+    which symmetric Jaccard under-scores.
+
+    Same kernel discipline as ngram_jaccard_pairs_fast: the pairs join
+    ships each doc's NORMALIZED TEXT once per pair, gram sets are built
+    once per distinct text per Arrow batch (memoized sorted uint64
+    arrays, injective encoding for n <= 3 — see _gram_hash_np), and the
+    returned counts are exact integers so any engine reproduces them
+    bit-for-bit. No gram arrays ever enter a shuffle.
+    """
+    norm = docs.select(F.col(id_col),
+                       normalized_text(F.col(text_col)).alias("_nt"))
+    a, b = norm.alias("a"), norm.alias("b")
+
+    @F.pandas_udf("n_common long, n_a long, n_b long")
+    def _ov(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
+        cache: dict = {}
+
+        def grams(t):
+            g = cache.get(t)
+            if g is None:
+                g = _gram_hash_np(t, n)
+                cache[t] = g
+            return g
+
+        rows = []
+        for x, y in zip(ta, tb):
+            ga, gb = grams(x or ""), grams(y or "")
+            inter = np.intersect1d(ga, gb, assume_unique=True).size
+            rows.append((int(inter), int(ga.size), int(gb.size)))
+        return pd.DataFrame(rows, columns=["n_common", "n_a", "n_b"],
+                            index=ta.index)
+
+    return (
+        pairs.join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
+        .join(b, pairs["id_b"] == F.col(f"b.{id_col}"))
+        .select("id_a", "id_b", _ov(F.col("a._nt"), F.col("b._nt"))
+                .alias("_o"))
+        .select("id_a", "id_b", "_o.n_common", "_o.n_a", "_o.n_b"))
+
+
+def containment_pairs(docs: DataFrame, pairs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3, min_ppm: int = 800_000) -> DataFrame:
+    """Asymmetric containment verify over candidate pairs (Broder's
+    containment coefficient): keep pairs where EITHER side's gram set is
+    >= min_ppm contained in the other — the syndicated-excerpt / quoted-
+    subset detector that Jaccard misses (a 100-word quote inside a
+    2000-word page has Jaccard ~0.05 but containment ~1.0 on the quote
+    side). Scores are exact integer ppm (``n_common * 1e6 DIV n_side``,
+    NULL when a side has no grams), so both engines agree bit-for-bit.
+    """
+    ov = ngram_overlap_pairs_fast(docs, pairs, text_col=text_col,
+                                  id_col=id_col, n=n)
+    cont_a = F.when(F.col("n_a") > 0,
+                    F.expr("CAST(n_common * 1000000 DIV n_a AS BIGINT)"))
+    cont_b = F.when(F.col("n_b") > 0,
+                    F.expr("CAST(n_common * 1000000 DIV n_b AS BIGINT)"))
+    return (ov.withColumn("cont_a_ppm", cont_a)
+            .withColumn("cont_b_ppm", cont_b)
+            .filter(F.greatest(F.coalesce("cont_a_ppm", F.lit(0)),
+                               F.coalesce("cont_b_ppm", F.lit(0)))
+                    >= min_ppm))

@@ -1480,3 +1480,55 @@ class TestSpanNoveltyAndSourceOverlap:
         assert ab["n_pairs"] == 2 and ab["n_docs"] == 2
         aa = rows[("feedA", "feedA")]
         assert aa["n_pairs"] == 1 and aa["n_docs"] == 2
+
+
+class TestContainmentPairs:
+    """ngram_overlap_pairs_fast / containment_pairs: the asymmetric
+    subset-duplication scores, cross-checked against python gram sets."""
+
+    def _grams(self, t):
+        import re
+        t = re.sub(r"\s+", " ", (t or "").lower()).strip()
+        return {t[i:i + 3] for i in range(max(len(t) - 2, 0))}
+
+    def test_overlap_counts_vs_python(self, spark):
+        from logparse_rs_spark.operators.dedup import ngram_overlap_pairs_fast
+        rows = [(1, "the quick brown fox jumps over the lazy dog"),
+                (2, "quick brown fox"),          # contained in 1
+                (3, "completely different words here"),
+                (4, "")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        p = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long")
+        got = {(r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"])
+               for r in ngram_overlap_pairs_fast(d, p, n=3).collect()}
+        texts = dict(rows)
+        for (ia, ib), (nc, na, nb) in got.items():
+            ga, gb = self._grams(texts[ia]), self._grams(texts[ib])
+            assert (nc, na, nb) == (len(ga & gb), len(ga), len(gb))
+        assert len(got) == 3
+
+    def test_containment_catches_subset_jaccard_misses(self, spark):
+        from logparse_rs_spark.operators.dedup import containment_pairs
+        long = "word%d " * 200 % tuple(range(200))
+        short = "word10 word11 word12 word13 word14 word15"
+        d = spark.createDataFrame(
+            [(1, long), (2, short)], "doc_id long, text string")
+        p = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        out = containment_pairs(d, p, n=3, min_ppm=900_000).collect()
+        # the short side is fully contained -> cont_b = 1.0 exactly,
+        # though Jaccard is tiny; the pair must survive the filter
+        assert len(out) == 1
+        r = out[0]
+        assert r["cont_b_ppm"] == 1_000_000
+        assert r["cont_a_ppm"] < 200_000
+
+    def test_empty_side_yields_null_not_error(self, spark):
+        from logparse_rs_spark.operators.dedup import containment_pairs
+        d = spark.createDataFrame(
+            [(1, "some real text here"), (2, "")],
+            "doc_id long, text string")
+        p = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        # empty gram set: its containment is NULL and the pair dies at
+        # the threshold instead of dividing by zero
+        assert containment_pairs(d, p, n=3).count() == 0
