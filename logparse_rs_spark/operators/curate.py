@@ -473,13 +473,26 @@ def sequential_ids(df: DataFrame, key_cols: Sequence[str],
     A plain ``row_number() OVER (ORDER BY key)`` single-partitions the
     corpus. This decomposes the total order the classic two-phase way:
     range-partition on the key (ordered, non-overlapping partitions),
-    freeze the layout, then ``ordinal = offset(partition) + local rank``
-    where the offsets are a prefix sum over the NUM-PARTITIONS-sized
-    count frame (broadcast back) and the local rank is a per-partition
-    window. One corpus shuffle total; the only unpartitioned window runs
-    over the partition-count frame. Complements ``shard_assign_balanced``
-    which decomposes via a VALUE histogram: that form needs bounded key
-    cardinality, this form needs key UNIQUENESS.
+    sort WITHIN each partition (partition-local, no exchange), freeze the
+    layout, then ``ordinal = offset(partition) + local record number``.
+    The local record number comes from ``monotonically_increasing_id``
+    re-based to each partition's minimum — NOT from a window partitioned
+    by partition-id, which would force a SECOND corpus-wide exchange
+    (Catalyst cannot see that physical placement already clusters the
+    pid column; observed as an extra hashpartitioning(_pid) exchange in
+    the executed plan). Offsets are a prefix sum over the NUM-PARTITIONS-
+    sized (count, min-id) frame, broadcast back. ONE corpus shuffle
+    total; the only unpartitioned window runs over the partition-stat
+    frame. Complements ``shard_assign_balanced`` which decomposes via a
+    VALUE histogram: that form needs bounded key cardinality, this form
+    needs key UNIQUENESS.
+
+    Determinism: mono-id VALUES are layout-dependent, but only the
+    (value - per-partition min) DIFFERENCE is used; rows are pre-sorted
+    by the unique key inside each partition, so the difference equals the
+    key's rank within the partition — reproducible for any layout. (The
+    per-partition contiguity of mono ids is pinned by this module's
+    tests: the output must be exactly the dense 0..n-1 sequence.)
 
     Correctness contract: ``key_cols`` must be a UNIQUE key of ``df``.
     The sampled range boundaries do not affect the result for unique keys
@@ -495,22 +508,24 @@ def sequential_ids(df: DataFrame, key_cols: Sequence[str],
 
     keys = [F.col(k) for k in key_cols]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # freeze the range layout before reading spark_partition_id twice
-    # (counts + local ranks must see the SAME physical placement)
+    # freeze the layout AFTER stamping pid + mono id: counts and ranks
+    # must see the same physical placement and the same id values
     part = _truncate(df.repartitionByRange(n, *keys)
-                     .withColumn("_pid", F.spark_partition_id()),
+                     .sortWithinPartitions(*keys)
+                     .withColumn("_pid", F.spark_partition_id())
+                     .withColumn("_mid", F.monotonically_increasing_id()),
                      eager=True)
-    counts = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    # prefix offsets over the partition-count frame (bounded: one row per
+    stats = part.groupBy("_pid").agg(F.count("*").alias("_cnt"),
+                                     F.min("_mid").alias("_mn"))
+    # prefix offsets over the partition-stat frame (bounded: one row per
     # shuffle partition; constant partition key = intent-explicit)
     wh = (Window.partitionBy(F.lit(0)).orderBy("_pid")
           .rowsBetween(Window.unboundedPreceding, -1))
-    off = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(wh),
-                           F.lit(0)).alias("_off"))
-    wl = Window.partitionBy("_pid").orderBy(*keys)
+    off = stats.select(
+        "_pid", "_mn",
+        F.coalesce(F.sum("_cnt").over(wh), F.lit(0)).alias("_off"))
     return (part.join(F.broadcast(off), "_pid")
             .withColumn(out_col,
-                        (F.col("_off") + F.row_number().over(wl) - 1)
+                        (F.col("_off") + F.col("_mid") - F.col("_mn"))
                         .cast("bigint"))
-            .drop("_pid", "_off"))
+            .drop("_pid", "_mid", "_mn", "_off"))

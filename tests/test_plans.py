@@ -219,3 +219,68 @@ class TestFinalWavePlans:
         src_scans = [l for l in plan.splitlines()
                      if "FileScan" in l and "source#" in l]
         assert src_scans and all("text" not in l for l in src_scans)
+
+
+class TestGraphWavePlans:
+    def test_sequential_ids_no_post_shuffle_no_corpus_window(self, spark):
+        """sequential_ids' only corpus-wide exchange is the range
+        repartition, which lives BEFORE the frozen checkpoint. The plan
+        downstream of the checkpoint must be exchange-free on the corpus
+        side: offsets arrive via broadcast and local ranks come from the
+        mono-id difference, NOT a window keyed by partition id (that form
+        planned a second hashpartitioning(_pid) exchange of the whole
+        corpus — the regression this test pins out)."""
+        import pandas as pd
+        from logparse_rs_spark.operators.curate import sequential_ids
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(100)}))
+        out = sequential_ids(df, ["doc_id"], num_partitions=5)
+        plan = plan_of(out)
+        assert "BroadcastHashJoin" in plan          # offsets broadcast
+        assert "SortMergeJoin" not in plan
+        # exactly ONE hash exchange: the partition-STAT aggregation (one
+        # row per partition after map-side partials). The regression form
+        # had a second one — hashpartitioning(_pid) of the whole corpus
+        # feeding a window.
+        assert plan.count("Exchange hashpartitioning") == 1
+        # and the only single-partition stage is the stat prefix sum
+        assert plan.count("Exchange SinglePartition") == 1
+        assert "Exchange rangepartitioning" not in plan  # pre-checkpoint
+
+    def test_triangle_wedge_joins_never_cartesian(self, spark):
+        import pandas as pd
+        from logparse_rs_spark.operators.graph import triangle_counts
+        df = spark.createDataFrame(
+            pd.DataFrame([(1, 2), (2, 3), (3, 1), (3, 4)],
+                         columns=["src", "dst"]))
+        plan = plan_of(triangle_counts(df))
+        assert "CartesianProduct" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_hits_round_normalizer_is_one_row_broadcast(self, spark):
+        """the per-round max normalizer must come back as a broadcast of
+        a 1-row aggregate (BroadcastNestedLoopJoin over the 1-row max),
+        never a CartesianProduct. Checked on the UN-truncated round body
+        (the final plan hides round internals behind the checkpoint
+        scan), by replaying one round's normalization inline."""
+        import pandas as pd
+        df = spark.createDataFrame(
+            pd.DataFrame([(1, 2), (2, 3)], columns=["s", "t"]))
+        nodes = df.select(F.col("s").alias("node")).union(
+            df.select(F.col("t").alias("node"))).distinct()
+        raw = df.groupBy(F.col("t").alias("node")).agg(
+            F.count("*").alias("raw"))
+        mx = F.broadcast(raw.agg(F.max("raw").alias("mx")))
+        round_body = nodes.join(raw, "node", "left").crossJoin(mx)
+        plan = plan_of(round_body)
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+        # and the assembled operator never degrades to a cartesian or a
+        # Python stage at any point that survives into the final plan
+        from logparse_rs_spark.operators.graph import hits_integer
+        fin = plan_of(hits_integer(
+            df.withColumnRenamed("s", "src")
+            .withColumnRenamed("t", "dst"), iterations=1))
+        assert "CartesianProduct" not in fin
+        assert "ArrowEvalPython" not in fin and "BatchEvalPython" not in fin
