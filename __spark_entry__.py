@@ -1614,6 +1614,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return containment_pairs(_docs(spark, sf_dir), pairs, n=3,
                                  min_ppm=800_000)
 
+    def log_host_profile(spark, sf_dir):
+        # per-host crawl telemetry off one page scan: page volume, byte
+        # volume, link density — all exact integers, computed scan-side
+        # and collapsed by map-side partials into a |hosts|-bounded agg.
+        from logparse_rs_spark.operators.links import host_profile
+        pages_path, _ = _fixture_paths(sf_dir)
+        pages = spark.read.parquet(pages_path).select("url", "html")
+        return (host_profile(pages)
+                .orderBy(F.desc("n_pages"), F.asc("host"))
+                .limit(30))
+
     def events_scd2_versions(spark, sf_dir):
         # SCD2 validity intervals over each user's signup stream: version
         # number, [valid_from, valid_to) in epoch micros, is_current flag.
@@ -1980,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_host_triangles": log_host_triangles,
         "doc_sequential_ids": doc_sequential_ids,
         "doc_containment_pairs": doc_containment_pairs,
+        "log_host_profile": log_host_profile,
         "doc_bloom_new_docs": doc_bloom_new_docs,
         "emb_kmeans_assign": emb_kmeans_assign,
         "doc_fuzzy_incremental": doc_fuzzy_incremental,
@@ -4220,6 +4232,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM s
         WHERE GREATEST(COALESCE(cont_a_ppm, 0), COALESCE(cont_b_ppm, 0))
               >= 800000
+    """
+    d["log_host_profile"] = f"""
+        WITH p AS (SELECT
+                regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                octet_length(html)::BIGINT AS b,
+                len(regexp_extract_all(decode(html),
+                    'href="([^"]+)"', 1))::BIGINT AS l
+              FROM read_parquet('{pages_path}')),
+        a AS (SELECT host, COUNT(*)::BIGINT AS n_pages,
+                     SUM(b)::BIGINT AS total_bytes,
+                     SUM(l)::BIGINT AS n_links
+              FROM p WHERE host <> '' GROUP BY host)
+        SELECT host, n_pages, total_bytes, n_links,
+               (n_links * 1000000 // n_pages)::BIGINT
+                 AS links_per_page_ppm
+        FROM a ORDER BY n_pages DESC, host ASC LIMIT 30
     """
     d["events_scd2_versions"] = """
         SELECT user_id, event_id,

@@ -106,3 +106,34 @@ def anchor_text_terms(pages: DataFrame, url_col: str = "url",
             .filter((F.col("dst_host") != "") & (F.col("term") != ""))
             .groupBy("dst_host", "term")
             .agg(F.count("*").alias("n_anchors")))
+
+
+def host_profile(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """Per-host crawl telemetry straight off the page scan: (host,
+    n_pages, total_bytes, n_links, links_per_page_ppm) — the fetch-side
+    dashboard a crawl operator watches (page volume and byte volume per
+    host drive politeness budgets; link density flags boilerplate-heavy
+    or spam hosts before any content analysis runs).
+
+    Exact integers only (byte lengths, counts, ppm via integer DIV), so
+    any engine reproduces the rows bit-for-bit. Scale shape: everything
+    computes scan-side in codegen (octet_length on the raw binary, one
+    regexp count per page) and collapses through map-side partials into
+    one |hosts|-bounded aggregate — the html bytes never shuffle.
+    """
+    host = F.regexp_extract(F.col(url_col), HOST_PATTERN, 1)
+    n_links = F.size(F.regexp_extract_all(
+        F.col(html_col).cast("string"), F.lit(HREF_PATTERN), 1))
+    per_page = pages.select(
+        host.alias("host"),
+        F.octet_length(F.col(html_col)).cast("long").alias("_bytes"),
+        n_links.cast("long").alias("_links"))
+    return (per_page.filter(F.col("host") != "")
+            .groupBy("host")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum("_bytes").alias("total_bytes"),
+                 F.sum("_links").alias("n_links"))
+            .withColumn("links_per_page_ppm",
+                        F.expr("CAST(n_links * 1000000 DIV n_pages "
+                               "AS BIGINT)")))

@@ -116,3 +116,34 @@ class TestFixtureLinks:
         for t in texts:
             w = t.split(" ")
             assert len(w) == 2 and all(x in ANCHOR_VOCAB for x in w)
+
+
+class TestHostProfile:
+    def test_hand_case(self, spark):
+        from logparse_rs_spark.operators.links import host_profile
+        rows = [
+            ("https://a.example.com/p1",
+             b'<a href="https://b.example.com/x">n</a>12345'),
+            ("https://a.example.com/p2", b'no links here'),
+            ("https://b.example.com/p1",
+             b'<a href="https://a.example.com/">x</a>'
+             b'<a href="/rel">y</a>'),
+            ("not-a-url", b'dropped'),
+        ]
+        pages = spark.createDataFrame(rows, "url string, html binary")
+        got = {r["host"]: (r["n_pages"], r["total_bytes"], r["n_links"],
+                           r["links_per_page_ppm"])
+               for r in host_profile(pages).collect()}
+        assert got == {
+            "a.example.com": (2, len(rows[0][1]) + len(rows[1][1]), 1,
+                              500000),
+            "b.example.com": (1, len(rows[2][1]), 2, 2000000),
+        }
+
+    def test_scan_side_jvm_only(self, spark, pages):
+        from logparse_rs_spark.operators.links import host_profile
+        plan = (host_profile(pages)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "Join" not in plan
