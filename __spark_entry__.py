@@ -1985,34 +1985,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_active": events_sliding_active,
         "log_link_hosts": log_link_hosts,
         "log_host_pagerank": log_host_pagerank,
-        "log_anchor_terms": log_anchor_terms,
-        "log_host_hits": log_host_hits,
-        "log_reciprocal_hosts": log_reciprocal_hosts,
-        "log_host_triangles": log_host_triangles,
+        # slots 43-50: the highest-marginal-risk unchecked queries fill
+        # the rest of the driver's historical 50-slot snapshot —
+        # implementation-detail contracts (sequential_ids' mono-id
+        # contiguity), novel algorithm classes (integer HITS' per-round
+        # max normalization, k-means, Bloom's md5-conv hashes, the
+        # containment struct-UDF kernel), the first multimodal oracle,
+        # and the substring span-dedup pair
         "doc_sequential_ids": doc_sequential_ids,
+        "log_host_hits": log_host_hits,
         "doc_containment_pairs": doc_containment_pairs,
-        "log_host_profile": log_host_profile,
         "doc_bloom_new_docs": doc_bloom_new_docs,
         "emb_kmeans_assign": emb_kmeans_assign,
-        "doc_fuzzy_incremental": doc_fuzzy_incremental,
+        "img_neardup_candidates": img_neardup_candidates,
         "doc_duplicate_spans": doc_duplicate_spans,
         "doc_span_scrubbed": doc_span_scrubbed,
+        # slots 51+: the lowest-marginal-risk unchecked queries.
+        # If the driver still snapshots only 50, what it skips is:
+        # three simple scan-side link aggregations whose plans AND values
+        # are pytest-pinned (anchor terms, reciprocal rate, host
+        # profile), triangle counts value-pinned against an exhaustive
+        # python enumeration, a composition of the checked minhash
+        # machinery (fuzzy incremental), the robots parser (pytest-
+        # pinned; its decisions are exercised by the hosted policy
+        # tests), the decontamination composition of the two span pieces
+        # that ARE in the top 50, then the r5-wave spills with the
+        # rationale documented in the r5 notes: the robots end-to-end
+        # composition, the literal-rules policy form, the recrawl
+        # frontier composition, a pinned rank rollup, a full-outer-join
+        # status rollup, a residue-split rollup, the hosted-policy
+        # shared-oracle form, and the soft-dedup/cluster-rep/span-
+        # novelty/source-overlap/streaming-fuzzy family
+        "log_anchor_terms": log_anchor_terms,
+        "log_reciprocal_hosts": log_reciprocal_hosts,
+        "log_host_triangles": log_host_triangles,
+        "log_host_profile": log_host_profile,
+        "doc_fuzzy_incremental": doc_fuzzy_incremental,
         "log_robots_rules": log_robots_rules,
-        "img_neardup_candidates": img_neardup_candidates,
         "doc_decontaminated": doc_decontaminated,
-        # the eight lowest-marginal-risk r5 queries sit at slots 51-58
-        # (frontier politeness is pytest-pinned — contiguity, pinning —
-        # and its portable worker hash is the same md5-conv construction
-        # the checked Bloom query exercises):
-        # if the driver still snapshots only 50, what it skips is the
-        # robots end-to-end composition (both pieces checked/pinned in
-        # the top 50), the literal-rules policy form (its decision logic
-        # is exercised by the composition and the hosted tests), a
-        # composition of two pieces checked/pinned on their own (recrawl
-        # frontier = delta + prioritized frontier), a rank rollup whose
-        # decomposition is pytest-pinned, a plain full-outer-join status
-        # rollup, a two-column residue-split rollup, and a query whose
-        # oracle is shared verbatim with log_url_policy (hosted form)
         "log_crawl_frontier": log_crawl_frontier,
         "log_robots_applied": log_robots_applied,
         "log_url_policy": log_url_policy,

@@ -30,9 +30,9 @@ def test_never_checked_queries_form_the_dict_prefix():
     CONTIGUOUS PREFIX of the dict, events_running_total first (r3
     verdict's one red cell), so whatever prefix the driver snapshots
     maximizes never-checked coverage. There are now more never-checked
-    queries than the driver's historical 50-slot snapshot; the two
-    entries that spill to 51-52 are chosen lowest-marginal-risk (see the
-    dict comment in __spark_entry__)."""
+    queries than the driver's historical 50-slot snapshot; the entries
+    that spill past slot 50 are chosen lowest-marginal-risk (see the
+    dict comments in __spark_entry__)."""
     import json
     qs = list(entrymod.queries())
     assert qs[0] == "events_running_total"
@@ -42,7 +42,11 @@ def test_never_checked_queries_form_the_dict_prefix():
     assert set(qs[:len(unchecked)]) == set(unchecked), (
         "never-checked queries must form the dict prefix")
     spilled = [q for q in unchecked if q not in set(qs[:50])]
-    assert spilled == ["log_crawl_frontier", "log_robots_applied",
+    assert spilled == ["log_anchor_terms", "log_reciprocal_hosts",
+                       "log_host_triangles", "log_host_profile",
+                       "doc_fuzzy_incremental", "log_robots_rules",
+                       "doc_decontaminated",
+                       "log_crawl_frontier", "log_robots_applied",
                        "log_url_policy", "log_frontier_recrawl",
                        "doc_shard_assign", "log_crawl_delta",
                        "doc_train_eval_split", "log_url_policy_hosted",
