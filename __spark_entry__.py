@@ -128,6 +128,39 @@ def _robots_probe_urls(domains) -> list:
     return urls
 
 
+def _sitemap_fixture(domains) -> list:
+    """Deterministic (host, sitemap.xml body) rows, shared verbatim by
+    the sitemap queries and their DuckDB oracles. Bodies exercise every
+    parser branch: multi-line pretty-printed entries (the (?s) lazy
+    block regex), a missing <lastmod>, a missing <priority> (spec
+    default 0.5 applied downstream, not by the parser), and a
+    sitemap-index section with child <sitemap> refs on every third
+    host."""
+    rows = []
+    for i, d in enumerate(domains):
+        urls = []
+        for j in range(3):
+            seq = (i * 37 + j * 101) % 1_000_000
+            parts = [f"    <loc>https://{d}/page{seq:06d}</loc>"]
+            if j != 1:
+                parts.append(f"    <lastmod>2026-0{1 + (i + j) % 9}"
+                             f"-1{j}</lastmod>")
+            if j != 2:
+                parts.append(f"    <priority>0.{(i + j) % 10}</priority>")
+            urls.append("  <url>\n" + "\n".join(parts) + "\n  </url>")
+        body = ('<?xml version="1.0"?>\n<urlset>\n'
+                + "\n".join(urls) + "\n</urlset>")
+        if i % 3 == 0:
+            body += (
+                "\n<sitemapindex>\n  <sitemap>\n"
+                f"    <loc>https://{d}/sitemap-news.xml</loc>\n"
+                "    <lastmod>2026-05-01</lastmod>\n  </sitemap>\n"
+                f"  <sitemap><loc>https://{d}/sitemap-archive.xml"
+                "</loc></sitemap>\n</sitemapindex>")
+        rows.append((d, body))
+    return rows
+
+
 def _load(spark_or_none=None):
     from logparse_rs_spark.anonymizer import load_anonymizer
     from logparse_rs_spark.schema import load_schema
@@ -1625,6 +1658,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("n_pages"), F.asc("host"))
                 .limit(30))
 
+    def log_sitemap_entries(spark, sf_dir):
+        # sitemap.xml parsing over the deterministic per-host fixture
+        # (shared helper _sitemap_fixture): page entries + sitemap-index
+        # child refs, priorities as exact DECIMAL-derived integer ppm.
+        from logparse_rs_spark.fixtures import DOMAINS
+        from logparse_rs_spark.operators.crawl import parse_sitemap
+        df = spark.createDataFrame(_sitemap_fixture(DOMAINS),
+                                   "host string, body string")
+        return parse_sitemap(df).orderBy("host", "kind", "ordinal")
+
+    def log_sitemap_frontier(spark, sf_dir):
+        # frontier seeding COMPOSITION: sitemap page entries the crawl
+        # has never fetched (left-anti join against the pages fixture's
+        # url set), ranked by the host's declared priority with the spec
+        # default 0.5 for entries that omit it. The sitemap side is tiny
+        # and broadcast; the crawled-url set is the big side and is
+        # never shuffled beyond the join.
+        from logparse_rs_spark.fixtures import DOMAINS
+        from logparse_rs_spark.operators.crawl import parse_sitemap
+        sm = parse_sitemap(
+            spark.createDataFrame(_sitemap_fixture(DOMAINS),
+                                  "host string, body string"))
+        pages_path, _ = _fixture_paths(sf_dir)
+        crawled = spark.read.parquet(pages_path).select("url")
+        seeds = (sm.filter(F.col("kind") == "url")
+                 .join(crawled, F.col("loc") == F.col("url"),
+                       "left_anti")
+                 .withColumn("priority_eff_ppm",
+                             F.coalesce("priority_ppm",
+                                        F.lit(500_000).cast("bigint"))))
+        return (seeds.select("host", "loc", "lastmod",
+                             "priority_eff_ppm")
+                .orderBy(F.desc("priority_eff_ppm"), F.asc("host"),
+                         F.asc("loc"))
+                .limit(100))
+
     def events_scd2_versions(spark, sf_dir):
         # SCD2 validity intervals over each user's signup stream: version
         # number, [valid_from, valid_to) in epoch micros, is_current flag.
@@ -2000,6 +2069,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_neardup_candidates": img_neardup_candidates,
         "doc_duplicate_spans": doc_duplicate_spans,
         "doc_span_scrubbed": doc_span_scrubbed,
+        # slots 51-52 if the driver snapshots more than 50: the sitemap
+        # pair (parser + frontier-seeding composition) — new this round,
+        # value-pinned in pytest, parser branches mirrored in the oracle
+        "log_sitemap_entries": log_sitemap_entries,
+        "log_sitemap_frontier": log_sitemap_frontier,
         # slots 51+: the lowest-marginal-risk unchecked queries.
         # If the driver still snapshots only 50, what it skips is:
         # three simple scan-side link aggregations whose plans AND values
@@ -3306,6 +3380,49 @@ def oracle_sql() -> dict[str, str]:
     _rb_values = ",\n".join(
         "('" + h + "', '" + b.replace("'", "''") + "')"
         for h, b in _robots_fixture(_DOMAINS))
+    _sm_values = ",\n".join(
+        "('" + h + "', '" + b.replace("'", "''") + "')"
+        for h, b in _sitemap_fixture(_DOMAINS))
+    d["log_sitemap_entries"] = f"""
+        WITH s(host, body) AS (VALUES {_sm_values}),
+        ub AS (SELECT host,
+                      unnest(regexp_extract_all(body,
+                        '(?s)<url>(.*?)</url>', 1)) AS e,
+                      unnest(generate_series(1, len(regexp_extract_all(
+                        body, '(?s)<url>(.*?)</url>', 1)))) AS ordinal
+               FROM s),
+        sb AS (SELECT host,
+                      unnest(regexp_extract_all(body,
+                        '(?s)<sitemap>(.*?)</sitemap>', 1)) AS e,
+                      unnest(generate_series(1, len(regexp_extract_all(
+                        body, '(?s)<sitemap>(.*?)</sitemap>', 1))))
+                        AS ordinal
+               FROM s),
+        x AS (SELECT host, 'url' AS kind, e, ordinal FROM ub
+              UNION ALL
+              SELECT host, 'sitemap' AS kind, e, ordinal FROM sb)
+        SELECT host, kind,
+               regexp_extract(e, '<loc>([^<]*)</loc>', 1) AS loc,
+               NULLIF(regexp_extract(e,
+                 '<lastmod>([^<]*)</lastmod>', 1), '') AS lastmod,
+               (CAST(NULLIF(regexp_extract(e,
+                  '<priority>([^<]*)</priority>', 1), '')
+                  AS DECIMAL(7,6)) * 1000000)::BIGINT AS priority_ppm,
+               ordinal::BIGINT AS ordinal
+        FROM x WHERE regexp_extract(e, '<loc>([^<]*)</loc>', 1) <> ''
+        ORDER BY host, kind, ordinal
+    """
+    d["log_sitemap_frontier"] = f"""
+        WITH sm AS ({d["log_sitemap_entries"]}),
+        c AS (SELECT url FROM read_parquet('{pages_path}'))
+        SELECT host, loc, lastmod,
+               COALESCE(priority_ppm, 500000)::BIGINT
+                 AS priority_eff_ppm
+        FROM sm
+        WHERE kind = 'url'
+          AND NOT EXISTS (SELECT 1 FROM c WHERE c.url = sm.loc)
+        ORDER BY priority_eff_ppm DESC, host ASC, loc ASC LIMIT 100
+    """
     d["log_robots_rules"] = f"""
         WITH r(host, body) AS (VALUES {_rb_values}),
         raw AS (SELECT host,

@@ -255,3 +255,50 @@ def parse_robots(robots: DataFrame, host_col: str = "host",
                              F.col("_v")).alias("prefix"),
                     (F.col("_f") == "allow").alias("allow"),
                     F.col("ordinal")))
+
+
+def parse_sitemap(sitemaps: DataFrame, host_col: str = "host",
+                  body_col: str = "body") -> DataFrame:
+    """sitemap.xml parser — (host, body) rows in, one row per entry out:
+    (host, kind, loc, lastmod, priority_ppm, ordinal). ``kind`` is
+    ``'url'`` for page entries and ``'sitemap'`` for sitemap-index child
+    references (the recursion seed a fetch fleet follows); ``lastmod``
+    is the raw ISO date string (NULL when absent) and ``priority`` is
+    exact integer parts-per-million via DECIMAL(7,6) — never a float, so
+    engines agree bit-for-bit. Together with robots.txt this is the
+    second crawl-control file: robots says where a crawler MUST NOT go,
+    sitemaps say where the host WANTS it to go — frontier seeding joins
+    the two.
+
+    Simplified-XML contract (stated, like parse_robots' RFC subset): the
+    well-formed <url>/<sitemap> element subset with plain-text <loc> —
+    no CDATA, no entity decoding, no namespace prefixes. That covers
+    machine-generated sitemaps, which is what the format is in practice.
+
+    Spark shape: entries explode scan-side via one non-greedy (?s)
+    regexp over the body (regexp_extract_all in codegen — the same lazy
+    dot-all semantics in Java regex and RE2, so the oracle interpolates
+    the pattern verbatim), fields re-extract from the KB-sized exploded
+    blocks. Zero joins, zero UDFs; one narrow projection per entry.
+    """
+    def _entries(kind: str, block_pat: str) -> DataFrame:
+        blocks = F.regexp_extract_all(F.col(body_col),
+                                      F.lit(block_pat), 1)
+        e = (sitemaps.select(F.col(host_col).alias("host"),
+                             F.posexplode(blocks).alias("_i", "_e")))
+        loc = F.regexp_extract(F.col("_e"), "<loc>([^<]*)</loc>", 1)
+        lastmod = F.regexp_extract(F.col("_e"),
+                                   "<lastmod>([^<]*)</lastmod>", 1)
+        prio = F.regexp_extract(F.col("_e"),
+                                "<priority>([^<]*)</priority>", 1)
+        return e.select(
+            "host", F.lit(kind).alias("kind"), loc.alias("loc"),
+            F.nullif(lastmod, F.lit("")).alias("lastmod"),
+            (F.nullif(prio, F.lit("")).cast("decimal(7,6)")
+             * 1_000_000).cast("bigint").alias("priority_ppm"),
+            (F.col("_i") + 1).cast("bigint").alias("ordinal"),
+        ).filter(F.col("loc") != "")
+
+    return (_entries("url", r"(?s)<url>(.*?)</url>")
+            .unionByName(_entries("sitemap",
+                                  r"(?s)<sitemap>(.*?)</sitemap>")))

@@ -389,3 +389,52 @@ class TestRemoveContaminatedSpans:
         plan = (remove_contaminated_spans(docs, ev, n=4)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+class TestParseSitemap:
+    def test_entries_and_index_refs(self, spark):
+        from logparse_rs_spark.operators.crawl import parse_sitemap
+        body = (
+            '<?xml version="1.0"?>\n<urlset>\n'
+            '  <url>\n    <loc>https://a.example.com/p1</loc>\n'
+            '    <lastmod>2026-03-10</lastmod>\n'
+            '    <priority>0.8</priority>\n  </url>\n'
+            '  <url><loc>https://a.example.com/p2</loc></url>\n'
+            '  <url><loc></loc></url>\n'          # empty loc: dropped
+            '</urlset>\n'
+            '<sitemapindex>\n'
+            '  <sitemap><loc>https://a.example.com/more.xml</loc>'
+            '</sitemap>\n</sitemapindex>')
+        df = spark.createDataFrame([("a.example.com", body)],
+                                   "host string, body string")
+        got = {(r["kind"], r["ordinal"]):
+               (r["loc"], r["lastmod"], r["priority_ppm"])
+               for r in parse_sitemap(df).collect()}
+        assert got == {
+            ("url", 1): ("https://a.example.com/p1", "2026-03-10",
+                         800000),
+            ("url", 2): ("https://a.example.com/p2", None, None),
+            ("sitemap", 1): ("https://a.example.com/more.xml", None,
+                             None),
+        }
+
+    def test_priority_is_exact_decimal_ppm(self, spark):
+        from logparse_rs_spark.operators.crawl import parse_sitemap
+        # 0.123456 must survive EXACTLY (DECIMAL(7,6) path, no float)
+        body = ('<url><loc>https://h/x</loc>'
+                '<priority>0.123456</priority></url>')
+        df = spark.createDataFrame([("h", body)],
+                                   "host string, body string")
+        [r] = parse_sitemap(df).collect()
+        assert r["priority_ppm"] == 123456
+
+    def test_scan_side_jvm_only(self, spark):
+        from logparse_rs_spark.operators.crawl import parse_sitemap
+        df = spark.createDataFrame(
+            [("h", "<url><loc>https://h/x</loc></url>")],
+            "host string, body string")
+        plan = (parse_sitemap(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "Join" not in plan

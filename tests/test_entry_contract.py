@@ -42,7 +42,8 @@ def test_never_checked_queries_form_the_dict_prefix():
     assert set(qs[:len(unchecked)]) == set(unchecked), (
         "never-checked queries must form the dict prefix")
     spilled = [q for q in unchecked if q not in set(qs[:50])]
-    assert spilled == ["log_anchor_terms", "log_reciprocal_hosts",
+    assert spilled == ["log_sitemap_entries", "log_sitemap_frontier",
+                       "log_anchor_terms", "log_reciprocal_hosts",
                        "log_host_triangles", "log_host_profile",
                        "doc_fuzzy_incremental", "log_robots_rules",
                        "doc_decontaminated",
