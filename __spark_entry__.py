@@ -135,7 +135,9 @@ def _sitemap_fixture(domains) -> list:
     block regex), a missing <lastmod>, a missing <priority> (spec
     default 0.5 applied downstream, not by the parser), and a
     sitemap-index section with child <sitemap> refs on every third
-    host."""
+    host. Every second host also advertises one URL under its
+    robots-DISALLOWED prefix and one under the longer Allow override —
+    the real-world robots/sitemap conflict the lint query detects."""
     rows = []
     for i, d in enumerate(domains):
         urls = []
@@ -148,6 +150,11 @@ def _sitemap_fixture(domains) -> list:
             if j != 2:
                 parts.append(f"    <priority>0.{(i + j) % 10}</priority>")
             urls.append("  <url>\n" + "\n".join(parts) + "\n  </url>")
+        if i % 2 == 0:
+            urls.append(f"  <url><loc>https://{d}/private{i % 5}/listing"
+                        "</loc><priority>0.9</priority></url>")
+            urls.append(f"  <url><loc>https://{d}/private{i % 5}"
+                        "/public/welcome</loc></url>")
         body = ('<?xml version="1.0"?>\n<urlset>\n'
                 + "\n".join(urls) + "\n</urlset>")
         if i % 3 == 0:
@@ -1694,6 +1701,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.asc("loc"))
                 .limit(100))
 
+    def log_sitemap_robots_conflicts(spark, sf_dir):
+        # crawl-config LINT composition: sitemap-advertised URLs the
+        # host's own robots.txt disallows (a real crawler-ops headache —
+        # the host tells the crawler to fetch what it then forbids).
+        # parse_robots + parse_sitemap + the host-broadcast longest-
+        # prefix policy apply; only rule/entry-sized frames move.
+        from logparse_rs_spark.fixtures import DOMAINS
+        from logparse_rs_spark.operators.crawl import (apply_url_policy_df,
+                                                       parse_robots,
+                                                       parse_sitemap)
+        rules = parse_robots(
+            spark.createDataFrame(_robots_fixture(DOMAINS),
+                                  "host string, body string")
+        ).select("prefix", "allow")
+        sm = parse_sitemap(
+            spark.createDataFrame(_sitemap_fixture(DOMAINS),
+                                  "host string, body string"))
+        urls = (sm.filter(F.col("kind") == "url")
+                .select("host", F.col("loc").alias("url")))
+        dec = apply_url_policy_df(urls, rules, default_allow=True)
+        return (dec.filter(~F.col("allowed"))
+                .select("host", "url", "rule_prefix")
+                .orderBy("host", "url"))
+
     def events_scd2_versions(spark, sf_dir):
         # SCD2 validity intervals over each user's signup stream: version
         # number, [valid_from, valid_to) in epoch micros, is_current flag.
@@ -2069,11 +2100,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_neardup_candidates": img_neardup_candidates,
         "doc_duplicate_spans": doc_duplicate_spans,
         "doc_span_scrubbed": doc_span_scrubbed,
-        # slots 51-52 if the driver snapshots more than 50: the sitemap
-        # pair (parser + frontier-seeding composition) — new this round,
-        # value-pinned in pytest, parser branches mirrored in the oracle
+        # slots 51-53 if the driver snapshots more than 50: the sitemap
+        # trio (parser + frontier-seeding + robots-conflict lint) — new
+        # this round, value-pinned in pytest, parser branches mirrored
+        # in the oracles
         "log_sitemap_entries": log_sitemap_entries,
         "log_sitemap_frontier": log_sitemap_frontier,
+        "log_sitemap_robots_conflicts": log_sitemap_robots_conflicts,
         # slots 51+: the lowest-marginal-risk unchecked queries.
         # If the driver still snapshots only 50, what it skips is:
         # three simple scan-side link aggregations whose plans AND values
@@ -4384,5 +4417,27 @@ def oracle_sql() -> dict[str, str]:
                (LEAD(epoch_us(ts)) OVER w IS NULL) AS is_current
         FROM events WHERE event_type = 'signup'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    # defined last: composes the robots-rules and sitemap-entries oracles,
+    # both of which must already be in d
+    d["log_sitemap_robots_conflicts"] = f"""
+        WITH rules AS ({d["log_robots_rules"]}),
+        sm AS ({d["log_sitemap_entries"]}),
+        u AS (SELECT host, loc AS url FROM sm WHERE kind = 'url'),
+        m AS (SELECT u.host, u.url, rules.prefix, rules.allow,
+                     ROW_NUMBER() OVER (PARTITION BY u.url
+                       ORDER BY length(rules.prefix) DESC,
+                                rules.allow DESC,
+                                rules.prefix DESC) AS rn
+              FROM u LEFT JOIN rules
+                ON starts_with(u.url, rules.prefix)),
+        dec AS (SELECT host, url,
+                       COALESCE(MAX(CASE WHEN rn = 1 THEN allow END),
+                                TRUE) AS allowed,
+                       MAX(CASE WHEN rn = 1 THEN prefix END)
+                         AS rule_prefix
+                FROM m GROUP BY host, url)
+        SELECT host, url, rule_prefix FROM dec
+        WHERE NOT allowed ORDER BY host, url
     """
     return d
