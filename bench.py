@@ -223,12 +223,23 @@ def pipeline_worker(cores: int, pages_path: str, warmup_pages: int) -> None:
             shutil.rmtree(local_dir, ignore_errors=True)
 
 
-def weather_probe() -> float:
-    """Fixed single-thread CPU work (sha256 over 256 MiB in 4 MiB blocks):
-    wall seconds. The work is constant, so the reading is a pure host-weather
-    index — quiet windows on this box read ~0.3-0.6 s, stormy windows >3x
-    that (BENCH/NOTES.md §6). Recorded at start and end of every invocation
-    so a poisoned record is machine-detectable (r4 verdict item 6)."""
+def weather_probe() -> dict:
+    """TWO fixed single-thread weather indices, wall seconds each:
+
+    - ``cpu``: sha256 over 256 MiB in cache-resident 4 MiB blocks — pure
+      compute, quiet ~0.20 s on this box. BLIND to memory-bandwidth
+      contention (the block lives in L2).
+    - ``membw``: allocate a fresh 256 MiB buffer and hash it in one shot
+      — the allocation + cold streaming read make it a memory-BANDWIDTH
+      index, quiet ~0.20 s, 0.35-0.45 s under neighbor bandwidth load.
+
+    Both are recorded at start and end of every invocation so a poisoned
+    record is machine-detectable (r4 verdict item 6). The split exists
+    because a documented stall class moves ONLY the bandwidth index: a
+    123 s headline leg (4x) was measured between two quiet ~0.20 s cpu
+    readings while the membw index sat at ~0.38 s the whole evening —
+    Spark's scan/shuffle paths are bandwidth-bound, the cpu probe is
+    not (BENCH/NOTES.md §6)."""
     import hashlib
     block = b"\xa5" * (4 << 20)
     t0 = time.perf_counter()
@@ -236,7 +247,11 @@ def weather_probe() -> float:
     for _ in range(64):
         h.update(block)
     h.hexdigest()
-    return round(time.perf_counter() - t0, 3)
+    cpu = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    hashlib.sha256(b"\xa5" * (256 << 20)).hexdigest()
+    membw = round(time.perf_counter() - t0, 3)
+    return {"cpu": cpu, "membw": membw}
 
 
 def time_queries(sf_dir: str, cores: int, budget_left_s=None) -> tuple:
@@ -443,6 +458,7 @@ def main() -> None:
         the last finished phase."""
         high = best["head"]
         scaling = build_scaling()
+        probe_end = weather_probe()
         # north rule: routed-row equality — every run at every parallelism
         # level must produce IDENTICAL per-sink routed counts
         all_sink_rows = [json.dumps(r["per_sink_rows"], sort_keys=True)
@@ -468,8 +484,10 @@ def main() -> None:
             "scratch": scratch or "system-tmp(disk)",
             # host-weather index: fixed CPU work timed at start/end — see
             # weather_probe(); compare against a quiet-window reading
-            "weather_probe_s": {"start": probe_start,
-                                "end": weather_probe()},
+            "weather_probe_s": {
+                "start": probe_start["cpu"], "end": probe_end["cpu"],
+                "start_membw": probe_start["membw"],
+                "end_membw": probe_end["membw"]},
             "budget_s": BENCH_BUDGET_S,
             "elapsed_s": round(time.monotonic() - t_start, 1),
             "scaling": scaling,
