@@ -1725,6 +1725,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("host", "url", "rule_prefix")
                 .orderBy("host", "url"))
 
+    def events_agg_refresh(spark, sf_dir):
+        # incremental aggregate MAINTENANCE: fold a delta batch's
+        # aggregate into the standing report table (full-outer key merge
+        # of two report-sized frames) and prove it equals the aggregate
+        # recomputed over history ∪ delta — the oracle computes the
+        # latter directly. Integer cents, distributive sums only.
+        from logparse_rs_spark.operators.aggregates import merge_aggregates
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        base = ev.select("event_id", "event_type", cents.alias("cents"))
+
+        def agg(df):
+            return df.groupBy("event_type").agg(
+                F.count("*").alias("n_events"),
+                F.sum("cents").alias("sum_cents"))
+
+        history = agg(base.filter(F.col("event_id") % 4 != 0))
+        delta = agg(base.filter(F.col("event_id") % 4 == 0))
+        return (merge_aggregates(history, delta, ["event_type"],
+                                 ["n_events", "sum_cents"])
+                .orderBy("event_type"))
+
     def events_scd2_versions(spark, sf_dir):
         # SCD2 validity intervals over each user's signup stream: version
         # number, [valid_from, valid_to) in epoch micros, is_current flag.
@@ -2100,14 +2122,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_neardup_candidates": img_neardup_candidates,
         "doc_duplicate_spans": doc_duplicate_spans,
         "doc_span_scrubbed": doc_span_scrubbed,
-        # slots 51-53 if the driver snapshots more than 50: the sitemap
-        # trio (parser + frontier-seeding + robots-conflict lint) — new
-        # this round, value-pinned in pytest, parser branches mirrored
-        # in the oracles
+        # slots 51-54 if the driver snapshots more than 50: the sitemap
+        # trio (parser + frontier-seeding + robots-conflict lint) and
+        # the incremental aggregate refresh — new this round,
+        # value-pinned in pytest, parser branches mirrored in the
+        # oracles
         "log_sitemap_entries": log_sitemap_entries,
         "log_sitemap_frontier": log_sitemap_frontier,
         "log_sitemap_robots_conflicts": log_sitemap_robots_conflicts,
-        # slots 51+: the lowest-marginal-risk unchecked queries.
+        "events_agg_refresh": events_agg_refresh,
+        # slots 55+: the lowest-marginal-risk unchecked queries.
         # If the driver still snapshots only 50, what it skips is:
         # three simple scan-side link aggregations whose plans AND values
         # are pytest-pinned (anchor terms, reciprocal rate, host
@@ -3196,6 +3220,15 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS running_cents
         FROM events WHERE event_type = 'purchase'
+    """
+    # incremental-refresh correctness contract: the merged
+    # history ∪ delta report must equal the aggregate recomputed over
+    # ALL events — so the oracle IS the full recompute
+    d["events_agg_refresh"] = """
+        SELECT event_type, COUNT(*)::BIGINT AS n_events,
+               SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT
+                 AS sum_cents
+        FROM events GROUP BY event_type ORDER BY event_type
     """
     # PII scrub oracle: patterns IMPORTED from the operator (one source of
     # truth — the regexes are written RE2-and-Java compatible) applied in

@@ -134,3 +134,34 @@ def spike_windows(df: DataFrame, ts_col: str = "ts",
             .select(key_col,
                     (F.col("_wb") * width).alias("window_start_us"),
                     "n", "n_windows", "total_n"))
+
+
+def merge_aggregates(old: DataFrame, delta: DataFrame,
+                     keys: Iterable[str],
+                     sum_cols: Iterable[str]) -> DataFrame:
+    """Incremental aggregate refresh: merge an existing aggregate table
+    with a DELTA batch's aggregate of the same shape — the at-scale
+    alternative to recomputing a rollup from the full history (at 10^12
+    rows the history scan dwarfs any day's delta; production log
+    pipelines maintain report tables by folding each batch in).
+
+    Only works for DISTRIBUTIVE aggregates (sums, counts — anything
+    where merge = add); averages/quantiles must be carried as their
+    summable parts (sum + count) and derived at read time. Keys present
+    on either side survive (full outer join, absent side contributes 0),
+    so the merged frame equals the aggregate recomputed over
+    history ∪ delta exactly — integer adds, engine-independent.
+
+    Scale shape: one key-keyed shuffle of two ALREADY-AGGREGATED frames
+    (report-table-sized, not event-sized); the raw delta is aggregated
+    by the caller before it arrives, so event rows never join anything.
+    """
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    j = old.alias("o").join(delta.alias("d"), keys, "full_outer")
+    merged = [
+        (F.coalesce(F.col(f"o.{c}"), F.lit(0).cast("long"))
+         + F.coalesce(F.col(f"d.{c}"), F.lit(0).cast("long"))).alias(c)
+        for c in sum_cols
+    ]
+    return j.select(*[F.col(k) for k in keys], *merged)

@@ -45,3 +45,28 @@ class TestSpikeWindows:
         rows += [("b", h * 3600) for h in range(24)]
         got = spike_windows(_ev(spark, rows), window_s=3600).collect()
         assert {r.event_type for r in got} == {"a"}
+
+
+class TestMergeAggregates:
+    def test_merge_equals_full_recompute(self, spark):
+        import pandas as pd
+        from logparse_rs_spark.operators.aggregates import merge_aggregates
+        old = spark.createDataFrame(pd.DataFrame(
+            {"k": ["a", "b"], "n": [3, 5], "s": [30, 50]}))
+        delta = spark.createDataFrame(pd.DataFrame(
+            {"k": ["b", "c"], "n": [2, 7], "s": [20, 70]}))
+        got = {r["k"]: (r["n"], r["s"])
+               for r in merge_aggregates(old, delta, ["k"],
+                                         ["n", "s"]).collect()}
+        # keys only-old, both, only-delta all survive with exact adds
+        assert got == {"a": (3, 30), "b": (7, 70), "c": (7, 70)}
+
+    def test_jvm_only_single_join(self, spark):
+        import pandas as pd
+        from logparse_rs_spark.operators.aggregates import merge_aggregates
+        old = spark.createDataFrame(pd.DataFrame({"k": ["a"], "n": [1]}))
+        delta = spark.createDataFrame(pd.DataFrame({"k": ["a"], "n": [1]}))
+        plan = (merge_aggregates(old, delta, ["k"], ["n"])
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
