@@ -477,6 +477,10 @@ def main() -> None:
             "lines_per_sec": high["lines_per_sec"],
             "cores": min(HEADLINE_CORES, cores),
             "cores_available": cores,
+            # >0 means the headline leg drew stall-rescue retries (see
+            # the implausibility check before the query pass)
+            "head_retries": max(0, len(all_runs.get("head", []))
+                                - BENCH_REPEATS),
             # self-describing methodology: where the measured runs' sinks +
             # shuffle dirs actually lived (tmpfs excludes the sandbox virtual
             # disk's stall behavior from the record — BENCH/BASELINE.md §4;
@@ -545,7 +549,24 @@ def main() -> None:
                 and budget_left() > pair_cost + 180):
             best = run_interleaved(["thr_n", "thr_4n"],
                                    BENCH_THREAD_REPEATS)
-        if extras or BENCH_THREAD_REPEATS > 0:
+        # headline-leg stall rescue, mirroring the 4N-leg one: the
+        # 8-core headline slower than the 4x1-core leg x1.5 is
+        # physically implausible on the same code+input — a host stall
+        # hit the headline run (observed 2026-08-18: 123 s headline vs
+        # 47 s 4N between quiet cpu probes, bandwidth-contended window).
+        # Retry just that leg while the inconsistency holds and the
+        # budget covers it; min-of-N folds the samples in, and
+        # head_retries in the record says it happened.
+        head_retries = 0
+        for _ in range(BENCH_EXTRA_PAIRS):
+            implausible = (best["head"]["wall_s"]
+                           > 1.5 * best["exec_4n"]["wall_s"])
+            retry_cost = best["head"]["wall_s"] + 90.0
+            if not implausible or budget_left() < retry_cost:
+                break
+            best = run_interleaved(["head"], 1)
+            head_retries += 1
+        if extras or head_retries or BENCH_THREAD_REPEATS > 0:
             emit("scaling-extras", {})
 
     queries, cold_timed = time_queries(sf_dir, min(HEADLINE_CORES, cores),
