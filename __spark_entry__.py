@@ -1747,6 +1747,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  ["n_events", "sum_cents"])
                 .orderBy("event_type"))
 
+    def log_host_kcore(spark, sf_dir):
+        # graph-trust filter: the 3-core of the >=3-links host graph —
+        # membership needs 3 neighbors that THEMSELVES survive the same
+        # bar, which degree-inflating link-farm satellites fail.
+        # Iterative peel, one degree agg + two semi-joins per round,
+        # converges in degeneracy-depth rounds; the oracle unrolls more
+        # peels than convergence needs (extra peels are no-ops).
+        from logparse_rs_spark.operators.graph import kcore_nodes
+        strong = _host_edges(spark, sf_dir).filter(F.col("n_links") >= 3)
+        return (kcore_nodes(strong, k=3, src="src_host", dst="dst_host")
+                .select(F.col("node").alias("host"), "core_degree")
+                .orderBy(F.desc("core_degree"), F.asc("host")))
+
     def events_scd2_versions(spark, sf_dir):
         # SCD2 validity intervals over each user's signup stream: version
         # number, [valid_from, valid_to) in epoch micros, is_current flag.
@@ -2131,7 +2144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_sitemap_frontier": log_sitemap_frontier,
         "log_sitemap_robots_conflicts": log_sitemap_robots_conflicts,
         "events_agg_refresh": events_agg_refresh,
-        # slots 55+: the lowest-marginal-risk unchecked queries.
+        "log_host_kcore": log_host_kcore,
+        # slots 56+: the lowest-marginal-risk unchecked queries.
         # If the driver still snapshots only 50, what it skips is:
         # three simple scan-side link aggregations whose plans AND values
         # are pytest-pinned (anchor terms, reciprocal rate, host
@@ -4450,6 +4464,42 @@ def oracle_sql() -> dict[str, str]:
                (LEAD(epoch_us(ts)) OVER w IS NULL) AS is_current
         FROM events WHERE event_type = 'signup'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+    # k-core: fixed-unroll peeling (8 peels — more than the fixture
+    # graph's degeneracy depth needs; extra peels are no-ops once the
+    # set is stable, so a converged iterative Spark run matches). The
+    # peel CTE chain is GENERATED to keep the 8 copies identical.
+    _kc_peels = 8
+    _kc = f"""
+        w0 AS (SELECT s, t
+               FROM (SELECT regexp_extract(url, '^https?://([^/]+)', 1)
+                              AS s,
+                            regexp_extract(href, '^https?://([^/]+)', 1)
+                              AS t
+                     FROM (SELECT url, unnest(regexp_extract_all(
+                             decode(html), 'href="([^"]+)"', 1)) AS href
+                           FROM read_parquet('{pages_path}')))
+               WHERE s <> '' AND t <> ''
+               GROUP BY s, t HAVING COUNT(*) >= 3),
+        e0 AS MATERIALIZED (SELECT LEAST(s, t) AS a,
+                            GREATEST(s, t) AS b FROM w0
+               WHERE s <> t GROUP BY 1, 2)"""
+    for _i in range(_kc_peels):
+        _kc += f""",
+        d{_i} AS MATERIALIZED (SELECT n, COUNT(*) AS d FROM (
+                    SELECT a AS n FROM e{_i}
+                    UNION ALL SELECT b FROM e{_i}) GROUP BY n),
+        a{_i} AS MATERIALIZED (SELECT n FROM d{_i} WHERE d >= 3),
+        e{_i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{_i} e
+                      JOIN a{_i} x ON e.a = x.n
+                      JOIN a{_i} y ON e.b = y.n)"""
+    d["log_host_kcore"] = f"""
+        WITH {_kc},
+        dfin AS (SELECT n, COUNT(*) AS d FROM (
+                   SELECT a AS n FROM e{_kc_peels}
+                   UNION ALL SELECT b FROM e{_kc_peels}) GROUP BY n)
+        SELECT n AS host, d::BIGINT AS core_degree FROM dfin
+        ORDER BY core_degree DESC, host ASC
     """
     # defined last: composes the robots-rules and sitemap-entries oracles,
     # both of which must already be in d

@@ -444,3 +444,56 @@ def triangle_counts(edges: DataFrame, src: str = "src",
                .union(tri.select(F.col("w2").alias("node"))))
     return corners.groupBy("node").agg(
         F.count("*").alias("n_triangles"))
+
+
+def kcore_nodes(edges: DataFrame, k: int = 3, max_peels: int = 20,
+                src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core of the UNDIRECTED graph induced by a directed edge set:
+    the maximal subgraph where every node keeps degree >= k after
+    everyone below the bar is (transitively) peeled away. The classic
+    graph-trust filter on a web host graph — a host's raw degree is
+    easily inflated by links to/from throwaway domains, but its k-core
+    membership requires k neighbors that THEMSELVES survive the same
+    bar, which link farms built from low-degree satellites fail.
+
+    Exact and deterministic: the k-core is unique (independent of peel
+    order), so any two engines agree; a fixed-unroll SQL oracle matches
+    whenever it unrolls at least as many peels as convergence needs —
+    extra peels are no-ops once the set is stable.
+
+    Scale shape: each peel is one degree aggregate over the surviving
+    edge set + two LEFT SEMI joins to drop edges touching peeled nodes
+    — narrow (id, id) frames only, same per-round class as a label-
+    propagation round. Convergence is a one-count driver decision per
+    peel; lineage truncates per round. Peels needed is the degeneracy
+    ordering depth, typically far below max_peels; raises if the bar is
+    not reached by ``max_peels`` instead of returning a wrong set.
+
+    Returns (node, core_degree BIGINT): the surviving nodes with their
+    degree INSIDE the k-core; empty when the whole graph peels away.
+    """
+    e = _truncate(
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.least(src, dst).alias("a"),
+                F.greatest(src, dst).alias("b"))
+        .distinct(), eager=True)
+    for _ in range(max_peels):
+        deg = (e.select(F.col("a").alias("n"))
+               .union(e.select(F.col("b").alias("n")))
+               .groupBy("n").agg(F.count("*").alias("d")))
+        keep = deg.filter(F.col("d") >= k)
+        n_drop = deg.count() - keep.count()
+        if n_drop == 0:
+            return keep.select(F.col("n").alias("node"),
+                               F.col("d").cast("long")
+                               .alias("core_degree"))
+        e = _truncate(
+            e.join(keep.select(F.col("n").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("n").alias("b")), "b", "left_semi"),
+            eager=True)
+        if e.isEmpty():
+            return keep.filter(F.lit(False)).select(
+                F.col("n").alias("node"),
+                F.col("d").cast("long").alias("core_degree"))
+    raise RuntimeError(
+        f"k-core did not stabilize in {max_peels} peels — raise max_peels")

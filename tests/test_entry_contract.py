@@ -44,7 +44,7 @@ def test_never_checked_queries_form_the_dict_prefix():
     spilled = [q for q in unchecked if q not in set(qs[:50])]
     assert spilled == ["log_sitemap_entries", "log_sitemap_frontier",
                        "log_sitemap_robots_conflicts",
-                       "events_agg_refresh",
+                       "events_agg_refresh", "log_host_kcore",
                        "log_anchor_terms", "log_reciprocal_hosts",
                        "log_host_triangles", "log_host_profile",
                        "doc_fuzzy_incremental", "log_robots_rules",

@@ -183,3 +183,66 @@ class TestSequentialIds:
                for r in sequential_ids(df, ["doc_id"],
                                        num_partitions=8).collect()}
         assert got == {1: 0, 2: 1}
+
+
+def _kcore_py(edges, k):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        dead = {n for n, d in deg.items() if d < k}
+        if not dead:
+            return deg
+        und = {(a, b) for a, b in und
+               if a not in dead and b not in dead}
+        if not und:
+            return {}
+
+
+class TestKcoreNodes:
+    def test_triangle_survives_pendant_chain_peels(self, spark):
+        from logparse_rs_spark.operators.graph import kcore_nodes
+        # triangle {1,2,3} is the 2-core; the chain 3-4-5-6 peels away
+        # one node per round (a multi-round cascade)
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["src", "dst"]))
+        got = {r["node"]: r["core_degree"]
+               for r in kcore_nodes(df, k=2).collect()}
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_whole_graph_peels_to_empty(self, spark):
+        from logparse_rs_spark.operators.graph import kcore_nodes
+        df = spark.createDataFrame(
+            pd.DataFrame([(1, 2), (2, 3)], columns=["src", "dst"]))
+        assert kcore_nodes(df, k=2).count() == 0
+
+    def test_vs_python_and_partitioning(self, spark):
+        import numpy as np
+        from logparse_rs_spark.operators.graph import kcore_nodes
+        rng = np.random.RandomState(13)
+        e = pd.DataFrame({"src": rng.randint(0, 30, 120),
+                          "dst": rng.randint(0, 30, 120)})
+        e = e[e.src != e.dst]
+        df = spark.createDataFrame(e)
+        want = sorted(_kcore_py(list(map(tuple,
+                                         e.itertuples(index=False))),
+                                3).items())
+        got = sorted(map(tuple, kcore_nodes(df, k=3).collect()))
+        assert got == want
+        re_got = sorted(map(tuple,
+                            kcore_nodes(df.repartition(13),
+                                        k=3).collect()))
+        assert re_got == want
+
+    def test_raises_when_peels_exhausted(self, spark):
+        from logparse_rs_spark.operators.graph import kcore_nodes
+        # a 5-chain needs 2 peel rounds at k=2 before emptiness is
+        # visible; max_peels=1 must refuse rather than return wrong
+        df = spark.createDataFrame(
+            pd.DataFrame([(1, 2), (2, 3), (3, 4), (4, 5)],
+                         columns=["src", "dst"]))
+        with pytest.raises(RuntimeError):
+            kcore_nodes(df, k=2, max_peels=1)
