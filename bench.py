@@ -432,10 +432,12 @@ def main() -> None:
             "efficiency_paired_median": median(pair_effs),
             "efficiency_paired_best_capped": (max(pair_effs)
                                               if pair_effs else None),
-            # lone 4N-leg weather retries folded into the min (see the
-            # rescue loop in main): >0 means a stall hit the first pair
+            # lone-leg weather retries folded into the min (see the
+            # rescue loops in main): >0 means a stall hit that leg
             "leg_retries": max(0, len(all_runs.get("exec_4n", []))
-                               - len(all_runs.get("exec_n", []))),
+                               - BENCH_REPEATS),
+            "n_leg_retries": max(0, len(all_runs.get("exec_n", []))
+                                 - BENCH_REPEATS),
             "parse_stage_efficiency": stage_eff,
         }
         if thread_effs:
@@ -549,6 +551,21 @@ def main() -> None:
                 and budget_left() > pair_cost + 180):
             best = run_interleaved(["thr_n", "thr_4n"],
                                    BENCH_THREAD_REPEATS)
+        # N-leg stall rescue: a stalled N leg can only INFLATE the
+        # efficiency ratio (observed raw 1.484 from a 263.8 s N leg
+        # against the same evening's 149.2 s unstalled wall) — mild
+        # fixed-JVM-cost superlinearity tops out ~1.05, so a ratio past
+        # 1.10 implicates the N leg. Retrying it lowers wall_n via
+        # min-of-N and tightens the ratio to the honest value.
+        n_retries = 0
+        for _ in range(BENCH_EXTRA_PAIRS):
+            eff_now = (best["exec_n"]["wall_s"]
+                       / (4.0 * best["exec_4n"]["wall_s"]))
+            retry_cost = best["exec_n"]["wall_s"] + 90.0
+            if eff_now <= 1.10 or budget_left() < retry_cost:
+                break
+            best = run_interleaved(["exec_n"], 1)
+            n_retries += 1
         # headline-leg stall rescue, mirroring the 4N-leg one: the
         # 8-core headline slower than the 4x1-core leg x1.5 is
         # physically implausible on the same code+input — a host stall
@@ -566,7 +583,7 @@ def main() -> None:
                 break
             best = run_interleaved(["head"], 1)
             head_retries += 1
-        if extras or head_retries or BENCH_THREAD_REPEATS > 0:
+        if extras or n_retries or head_retries or BENCH_THREAD_REPEATS > 0:
             emit("scaling-extras", {})
 
     queries, cold_timed = time_queries(sf_dir, min(HEADLINE_CORES, cores),
