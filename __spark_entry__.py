@@ -1760,6 +1760,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("node").alias("host"), "core_degree")
                 .orderBy(F.desc("core_degree"), F.asc("host")))
 
+    def events_dau_stickiness(spark, sf_dir):
+        # the classic engagement rollup: daily active users against the
+        # month's active users (DAU/MAU stickiness, exact integer ppm).
+        # Day/month keys are NAIVE date strings off the NTZ timestamp —
+        # no session-timezone surface — and the two distinct-count
+        # aggregates join on the month key (month frame is tiny).
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        d = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"),
+                      F.date_format("ts", "yyyy-MM").alias("month"),
+                      "user_id")
+        dau = d.groupBy("day", "month").agg(
+            F.countDistinct("user_id").alias("dau"))
+        mau = d.groupBy("month").agg(
+            F.countDistinct("user_id").alias("mau"))
+        return (dau.join(mau, "month")
+                .select("day", "dau", "mau",
+                        F.expr("CAST(dau * 1000000 DIV mau AS BIGINT)")
+                        .alias("stickiness_ppm"))
+                .orderBy("day"))
+
     def events_scd2_versions(spark, sf_dir):
         # SCD2 validity intervals over each user's signup stream: version
         # number, [valid_from, valid_to) in epoch micros, is_current flag.
@@ -2145,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log_sitemap_robots_conflicts": log_sitemap_robots_conflicts,
         "events_agg_refresh": events_agg_refresh,
         "log_host_kcore": log_host_kcore,
+        "events_dau_stickiness": events_dau_stickiness,
         # slots 56+: the lowest-marginal-risk unchecked queries.
         # If the driver still snapshots only 50, what it skips is:
         # three simple scan-side link aggregations whose plans AND values
@@ -3234,6 +3255,18 @@ def oracle_sql() -> dict[str, str]:
                  PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS running_cents
         FROM events WHERE event_type = 'purchase'
+    """
+    d["events_dau_stickiness"] = """
+        WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                          strftime(ts, '%Y-%m') AS month, user_id
+                   FROM events),
+        dau AS (SELECT day, month, COUNT(DISTINCT user_id)::BIGINT AS dau
+                FROM d GROUP BY day, month),
+        mau AS (SELECT month, COUNT(DISTINCT user_id)::BIGINT AS mau
+                FROM d GROUP BY month)
+        SELECT day, dau.dau, mau.mau,
+               (dau.dau * 1000000 // mau.mau)::BIGINT AS stickiness_ppm
+        FROM dau JOIN mau USING (month) ORDER BY day
     """
     # incremental-refresh correctness contract: the merged
     # history ∪ delta report must equal the aggregate recomputed over

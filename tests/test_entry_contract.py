@@ -45,6 +45,7 @@ def test_never_checked_queries_form_the_dict_prefix():
     assert spilled == ["log_sitemap_entries", "log_sitemap_frontier",
                        "log_sitemap_robots_conflicts",
                        "events_agg_refresh", "log_host_kcore",
+                       "events_dau_stickiness",
                        "log_anchor_terms", "log_reciprocal_hosts",
                        "log_host_triangles", "log_host_profile",
                        "doc_fuzzy_incremental", "log_robots_rules",
