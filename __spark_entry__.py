@@ -1131,10 +1131,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import glob as _glob
         import shutil as _shutil
 
-        tag = _sf_tag(sf_dir)
+        # key by the REAL sf basename, not _sf_tag (which collapses unknown
+        # tags onto sf0.01): a driver-generated sf1.0 run must not write its
+        # staging into the sf0.01 dir — that poisoning made the r5-bonus
+        # sf0.01 staging hold 50k sf1.0 docs. Belt+braces: a row-count
+        # staleness probe below rebuilds any staging whose total rows no
+        # longer match the source documents table.
+        tag = os.path.basename(sf_dir.rstrip("/"))
         src = os.path.join(FIXTURE_ROOT, f"docstream_{tag}_b{n_b}")
-        if not os.path.isdir(src) or not _glob.glob(
-                os.path.join(src, "b*.parquet")):
+        staged = sorted(_glob.glob(os.path.join(src, "b*.parquet")))
+        if staged:
+            import pyarrow.parquet as _pq
+            n_staged = sum(_pq.ParquetFile(f).metadata.num_rows
+                           for f in staged)
+            n_src = _pq.ParquetFile(
+                f"{sf_dir}/documents.parquet").metadata.num_rows
+            if n_staged != n_src:
+                _shutil.rmtree(src, ignore_errors=True)
+                staged = []
+        if not staged:
             docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
                     .select("doc_id", "text"))
             n = docs.count()
@@ -1947,11 +1962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both are 64-bit keys). Images are the deterministic cluster
         # fixture from dataops_fixtures; the oracle bands the SAME-kernel
         # precomputed hashes in SQL.
-        from logparse_rs_spark.dataops_fixtures import ensure_dataops_aux
+        from logparse_rs_spark.dataops_fixtures import ensure_images_fixture
         from logparse_rs_spark.operators.dedup import simhash_candidates
         from logparse_rs_spark.operators.multimodal import image_ahash
-        paths = ensure_dataops_aux(FIXTURE_ROOT, sf_dir)
-        imgs = spark.read.parquet(paths["images"])
+        imgs = spark.read.parquet(ensure_images_fixture(FIXTURE_ROOT, sf_dir))
         ah = image_ahash(imgs).withColumnRenamed("ahash", "simhash")
         return simhash_candidates(ah, max_bucket=1000)
 

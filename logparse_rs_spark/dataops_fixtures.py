@@ -30,6 +30,11 @@ import pyarrow.parquet as pq
 # bump when any refimpl kernel or parameter below changes semantics
 _AUX_VERSION = 4
 
+# SFs whose aux fixtures feed DuckDB oracle comparisons (driver correctness
+# gate + local check_oracle.py). The bucket-cap assertion is enforced only
+# for these — see _assert_oracle_caps call site.
+ORACLE_GATE_SFS = {"sf0.001", "sf0.01", "sf0.1"}
+
 # image near-dup fixture (img_neardup_candidates): RAW8 grayscale images
 # synthesized per doc — docs in the same cluster share a base pattern with
 # a few per-member pixel perturbations (near-dups, small aHash Hamming
@@ -76,6 +81,54 @@ def normalized_text_py(t: str) -> str:
     return _JAVA_WS.sub(" ", t.lower()).strip(" ")
 
 
+def _image_blobs(doc_ids) -> list:
+    """Deterministic RAW8 image synthesis (identical bytes regardless of
+    caller): cluster base patterns drawn once per cluster id, per-member
+    pixel noise from a per-doc rng."""
+    from .operators.multimodal import raw8_encode
+    n_clusters = max(1, len(doc_ids) // IMG_CLUSTER_SIZE)
+    blobs = []
+    base_cache: dict = {}   # cluster -> base pattern (drawn once, not per member)
+    for i in doc_ids:
+        c = i % n_clusters
+        base = base_cache.get(c)
+        if base is None:
+            base = np.random.default_rng(10_000 + c).integers(
+                0, 256, (IMG_SIDE, IMG_SIDE), dtype=np.uint8)
+            base_cache[c] = base
+        img = base.copy()
+        mem_rng = np.random.default_rng(20_000 + i)
+        for _ in range(IMG_NOISE_PIXELS):
+            r, c2 = mem_rng.integers(0, IMG_SIDE, 2)
+            img[r, c2] = np.uint8((int(img[r, c2]) + 40) % 256)
+        blobs.append(raw8_encode(img))
+    return blobs
+
+
+def ensure_images_fixture(fixture_root: str, sf_dir: str) -> str:
+    """Materialize (idempotently) ONLY the RAW8 image fixture for sf_dir —
+    the single aux file the Spark-side img_neardup_candidates query reads.
+    The full ensure_dataops_aux build (oracle-side: minhash signatures over
+    every doc text, LSH bands, aHash table, ...) is an order of magnitude
+    heavier and is only needed where the DuckDB oracle SQL actually runs
+    (oracle_sql() ensures it itself); keeping the bench query path off it
+    keeps a cold first img_neardup_candidates run at driver bench scale to
+    the image synthesis alone."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(fixture_root, f"dataaux_{tag}_v{_AUX_VERSION}")
+    path = os.path.join(out_dir, "images.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    doc_ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+    _atomic_write(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "img": pa.array(_image_blobs(doc_ids), pa.binary()),
+    }), path)
+    return path
+
+
 def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
     """Materialize (idempotently) the aux parquet files for `sf_dir` and
     return {name: path}. Names: doc_aux, emb_bands, emb_cells, emb_probes,
@@ -111,7 +164,16 @@ def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
 
     sigs = minhash_sig_batch(texts, MINHASH_NUM_PERM, MINHASH_SHINGLE_K)
     sims = simhash_batch(texts, SIMHASH_SHINGLE_K)
-    _assert_oracle_caps(sigs, sims)
+    if tag in ORACLE_GATE_SFS:
+        # Only the gate SFs are ever compared against the uncapped DuckDB
+        # oracles, so only there is a cap-overflowing bucket an
+        # oracle-integrity error. At bench-only scales (e.g. a driver
+        # generated sf1.0) the capped Spark-side plan is the intended
+        # scale behavior and the aux build must not refuse to materialize
+        # the image fixture over a DOC-side bucket census (that refusal
+        # is what made img_neardup_candidates error in the r5 sf1.0
+        # bench run).
+        _assert_oracle_caps(sigs, sims)
     norm = texts.map(normalized_text_py)
     fnv = fnv1a_series(norm).view("int64")
 
@@ -146,18 +208,8 @@ def ensure_dataops_aux(fixture_root: str, sf_dir: str) -> Dict[str, str]:
     }), paths["batch_aux"])
 
     # ---- images: RAW8 near-dup clusters + aHash (same kernel as Spark) ----
-    from .operators.multimodal import ahash_batch, raw8_encode
-    n_clusters = max(1, len(doc_ids) // IMG_CLUSTER_SIZE)
-    blobs = []
-    for i in doc_ids:
-        base_rng = np.random.default_rng(10_000 + (i % n_clusters))
-        img = base_rng.integers(0, 256, (IMG_SIDE, IMG_SIDE),
-                                dtype=np.uint8).copy()
-        mem_rng = np.random.default_rng(20_000 + i)
-        for _ in range(IMG_NOISE_PIXELS):
-            r, c = mem_rng.integers(0, IMG_SIDE, 2)
-            img[r, c] = np.uint8((int(img[r, c]) + 40) % 256)
-        blobs.append(raw8_encode(img))
+    from .operators.multimodal import ahash_batch
+    blobs = _image_blobs(doc_ids)
     _atomic_write(pa.table({
         "doc_id": pa.array(doc_ids, pa.int64()),
         "img": pa.array(blobs, pa.binary()),
