@@ -285,8 +285,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- training-data operators over the driver-provided tables ----------
 
+    _scan_meta_cache: dict = {}
+
+    def _scan_meta(path: str) -> tuple:
+        """(num_rows, num_row_groups) from the parquet footer — a
+        driver-side metadata read, no Spark job."""
+        m = _scan_meta_cache.get(path)
+        if m is None:
+            import pyarrow.parquet as pq
+            md = pq.ParquetFile(path).metadata
+            m = (md.num_rows, md.num_row_groups)
+            _scan_meta_cache[path] = m
+        return m
+
+    def _par_parquet(spark, path: str, rows_per_task: int = 600):
+        """Read a parquet table, restoring scan parallelism when the file
+        layout cannot provide it. The driver testdata tables are single-file
+        SINGLE-ROW-GROUP parquet, and a parquet split only produces work for
+        the task holding a row-group midpoint — so the scan is ONE task no
+        matter how small spark.sql.files.maxPartitionBytes is, and every
+        scan-side projection/pandas UDF chained on it (minhash, simhash,
+        winnowing, gopher, span explodes...) runs serially (guide §2.5,
+        input skew: "one huge unsplittable file — repartition immediately
+        after the read"). When the footer says the natural task count is
+        below the session parallelism, round-robin repartition toward
+        ~rows_per_task rows per task, capped at 2x parallelism so the
+        exchange stays cheap. On production multi-file/multi-row-group
+        layouts the natural count exceeds parallelism and this is a
+        pass-through (no exchange added)."""
+        df = spark.read.parquet(path)
+        rows, row_groups = _scan_meta(path)
+        dp = spark.sparkContext.defaultParallelism
+        want = min(2 * dp, rows // rows_per_task)
+        if row_groups < dp and want > row_groups:
+            df = df.repartition(want)
+        return df
+
     def _docs(spark, sf_dir):
-        return spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return _par_parquet(spark, f"{sf_dir}/documents.parquet")
 
     _tok_cache: dict = {}
     _sig_cache: dict = {}
@@ -303,7 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key = (spark.sparkContext.applicationId, path)
         tok = _tok_cache.get(key)
         if tok is None:
-            tok = (spark.read.parquet(path)
+            tok = (_par_parquet(spark, path)
                    .select("doc_id", "text",
                            _words(F.col("text")).alias("words"))
                    .persist())
@@ -327,7 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sigs
 
     def _emb(spark, sf_dir):
-        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return _par_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
     _dim_cache: dict = {}
 
@@ -1188,8 +1224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         n_b = max(1, int(os.environ.get("LPS_STREAM_BATCHES", "2")))
         src = _staged_doc_batches(spark, sf_dir, n_b)
+        # each staged micro-batch is ONE file (= one scan task); the
+        # stateless repartition spreads the per-batch hash work across
+        # the state-partition width instead of one core (results are
+        # partitioning-independent: the state op re-shuffles by key)
         stream = (spark.readStream.schema("doc_id long, text string")
-                  .option("maxFilesPerTrigger", 1).parquet(src))
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .repartition(8))
         _stream_dedup_seq[0] += 1
         name = f"dedup_feed_{_stream_dedup_seq[0]}"
         ckpt = _stream_checkpoint()
@@ -1222,8 +1263,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         n_b = max(1, int(os.environ.get("LPS_STREAM_BATCHES", "2")))
         src = _staged_doc_batches(spark, sf_dir, n_b)
+        # one file per trigger = one scan task; repartition so the
+        # per-batch minhash-signature UDF runs at state-partition width
+        # instead of serially (stateless; the band registry re-shuffles
+        # by (band, bucket) anyway)
         stream = (spark.readStream.schema("doc_id long, text string")
-                  .option("maxFilesPerTrigger", 1).parquet(src))
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .repartition(8))
         _stream_dedup_seq[0] += 1
         name = f"band_registry_{_stream_dedup_seq[0]}"
         ckpt = _stream_checkpoint()
@@ -1965,7 +2011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from logparse_rs_spark.dataops_fixtures import ensure_images_fixture
         from logparse_rs_spark.operators.dedup import simhash_candidates
         from logparse_rs_spark.operators.multimodal import image_ahash
-        imgs = spark.read.parquet(ensure_images_fixture(FIXTURE_ROOT, sf_dir))
+        imgs = _par_parquet(spark, ensure_images_fixture(FIXTURE_ROOT, sf_dir),
+                            rows_per_task=3000)
         ah = image_ahash(imgs).withColumnRenamed("ahash", "simhash")
         return simhash_candidates(ah, max_bucket=1000)
 

@@ -318,5 +318,8 @@ def _assert_oracle_caps(sigs, sims) -> None:
 
 def _atomic_write(tbl: pa.Table, path: str) -> None:
     tmp = path + ".tmp"
-    pq.write_table(tbl, tmp)
+    # bounded row groups: a single-row-group file caps any Spark scan of
+    # the fixture at ONE task regardless of split config (content is
+    # unchanged; this is layout only)
+    pq.write_table(tbl, tmp, row_group_size=8192)
     os.replace(tmp, path)

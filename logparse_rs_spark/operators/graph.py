@@ -482,7 +482,13 @@ def kcore_nodes(edges: DataFrame, k: int = 3, max_peels: int = 20,
                .union(e.select(F.col("b").alias("n")))
                .groupBy("n").agg(F.count("*").alias("d")))
         keep = deg.filter(F.col("d") >= k)
-        n_drop = deg.count() - keep.count()
+        # ONE action per peel (was deg.count() - keep.count(), two jobs
+        # recomputing the degree aggregate each): at 100x round counts
+        # the driver round-trip per peel halves.
+        stats = deg.agg(
+            F.count("*").alias("n_all"),
+            F.sum((F.col("d") >= k).cast("long")).alias("n_keep")).first()
+        n_drop = stats["n_all"] - (stats["n_keep"] or 0)
         if n_drop == 0:
             return keep.select(F.col("n").alias("node"),
                                F.col("d").cast("long")
