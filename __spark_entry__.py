@@ -1236,14 +1236,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ckpt = _stream_checkpoint()
         try:
             with _bounded_state_partitions(spark, 8):
+                # UPDATE mode: native streaming min-agg state (see
+                # streaming_exact_dedup) — re-emissions carry identical
+                # survivors; the min-rollup below is the deterministic
+                # read of the sink.
                 q = (streaming_exact_dedup(stream).writeStream
-                     .outputMode("append").format("memory").queryName(name)
+                     .outputMode("update").format("memory").queryName(name)
                      .option("checkpointLocation", ckpt)
                      .trigger(availableNow=True).start())
                 q.awaitTermination()
         finally:
             _shutil.rmtree(ckpt, ignore_errors=True)
-        return spark.table(name).select("doc_id")
+        return (spark.table(name).groupBy("text_key")
+                .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
 
     def doc_streaming_fuzzy_dedup(spark, sf_dir):
         # STREAMING near-dup state: the minhash band registry
@@ -1275,16 +1280,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ckpt = _stream_checkpoint()
         try:
             with _bounded_state_partitions(spark, 8):
+                # UPDATE mode: the registry is a native streaming min
+                # aggregation (see streaming_band_registry) — a bucket
+                # touched by several batches re-emits its (identical)
+                # owner once per batch; the min-rollup below is the
+                # deterministic read of the sink.
                 q = (streaming_band_registry(stream).writeStream
-                     .outputMode("append").format("memory").queryName(name)
+                     .outputMode("update").format("memory").queryName(name)
                      .option("checkpointLocation", ckpt)
                      .trigger(availableNow=True).start())
                 q.awaitTermination()
         finally:
             _shutil.rmtree(ckpt, ignore_errors=True)
         registry = (spark.table(name)
-                    .select("band", "bucket",
-                            F.col("doc_id").alias("_owner")))
+                    .groupBy("band", "bucket")
+                    .agg(F.min("doc_id").alias("_owner")))
         # batch-side survivor decision from the STREAMED registry: every
         # (band, bucket) of the doc must be owned by the doc itself
         mine = _banded(_doc_sigs(spark, sf_dir), "doc_id", 16, 64)

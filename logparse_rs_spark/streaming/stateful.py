@@ -97,55 +97,30 @@ def streaming_integrity_feed(pairs_stream: DataFrame) -> DataFrame:
         GroupStateTimeout.NoTimeout)
 
 
-DEDUP_OUTPUT = T.StructType([
-    T.StructField("doc_id", T.LongType()),
-    T.StructField("text_key", T.LongType()),
-])
-DEDUP_STATE = T.StructType([T.StructField("seen", T.BooleanType())])
-
-
-def _make_row_frames(columns: dict):
-    """(empty_frame, one_row_frame) with pinned dtypes for a stateful
-    update fn. applyInPandasWithState invokes the update generator ONCE
-    PER GROUP and the state ops here key groups by fine-grained hashes
-    (one per distinct text key / band bucket), so at bench scale the
-    per-group Python cost is the whole operator: constructing a fresh
-    pandas DataFrame per group (~100+ us) dominates the one boolean of
-    real work. Both frames are built once per task; the one-row frame is
-    mutated in place via .iat and re-yielded — safe because the Arrow
-    serializer consumes each yielded frame before the generator resumes."""
-    empty = pd.DataFrame({k: pd.Series(dtype=v)
-                          for k, v in columns.items()})
-    one = pd.DataFrame({k: pd.Series([0], dtype=v)
-                        for k, v in columns.items()})
-    return empty, one
-
-
-def _one_row(template: pd.DataFrame, *values):
-    """A FRESH one-row frame from the dtype-pinned template (.copy() +
-    .iat writes, ~45us vs ~75us for the dict constructor). Must be fresh
-    per yield: the ApplyInPandasWithState serializer buffers yielded
-    frames by reference until an Arrow batch fills, so yielding a shared
-    mutated frame would corrupt earlier groups' buffered rows. The shared
-    EMPTY frame is safe — the serializer drops len==0 frames on arrival."""
-    f = template.copy()
-    for i, v in enumerate(values):
-        f.iat[0, i] = v
-    return f
-
-
 def streaming_exact_dedup(docs_stream: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
-    """Incremental exact dedup over a document stream: emits each distinct
-    normalized text exactly once across the stream's lifetime, keyed by
-    xxhash64(normalized text). Within a micro-batch the canonical survivor
-    is the min doc_id (the batch operator's tie-break, dedup.exact_dedup);
-    across batches the first-seen batch wins.
+    """Incremental exact dedup over a document stream, keyed by
+    xxhash64(normalized text). State = the minimum owning doc_id per
+    distinct text key, held by Spark's NATIVE streaming aggregation (one
+    long per key in the JVM state store — no Python boundary; the
+    applyInPandasWithState form paid ~1 ms of per-GROUP framework cost,
+    one group per distinct text). Within a micro-batch the canonical
+    survivor is the min doc_id (the batch operator's tie-break,
+    dedup.exact_dedup); under ascending-id micro-batches (the staged-
+    batch contract every consumer here uses) min-so-far == first-seen-
+    batch winner.
 
-    State = one boolean per distinct text key, sharded by key across
-    executors and checkpointed — at ingest scale pair this with the RocksDB
-    state store; the batch exact_dedup remains the backfill/compaction path.
-    """
+    Run the sink in UPDATE output mode (streaming aggregations cannot
+    run in append mode without a watermark): a text key touched by
+    several micro-batches re-emits once per touching batch — with
+    ascending ids every emission carries the SAME survivor, and
+    consumers read the survivor set as groupBy(text_key).min(doc_id)
+    over the sink rows (deterministic either way).
+
+    At ingest scale pair this with the RocksDB state store; the batch
+    exact_dedup remains the backfill/compaction path. The genuinely
+    custom-state streaming operators (set-valued memo state) remain on
+    applyInPandasWithState — see streaming_integrity_feed."""
     from pyspark.sql import functions as F
 
     from ..operators.dedup import normalized_text
@@ -153,39 +128,8 @@ def streaming_exact_dedup(docs_stream: DataFrame, text_col: str = "text",
     keyed = docs_stream.select(
         F.col(id_col).alias("doc_id"),
         F.xxhash64(normalized_text(F.col(text_col))).alias("text_key"))
-
-    empty, one = _make_row_frames({"doc_id": "int64", "text_key": "int64"})
-
-    def update(key, pdfs, state: GroupState):
-        if state.exists:
-            # drain the iterator (contract) and emit nothing: dup of a
-            # text seen in an earlier micro-batch
-            for _ in pdfs:
-                pass
-            yield empty
-            return
-        first_id = None
-        for p in pdfs:
-            if len(p):
-                m = int(p["doc_id"].min())
-                first_id = m if first_id is None else min(first_id, m)
-        state.update((True,))
-        if first_id is None:
-            yield empty
-        else:
-            yield _one_row(one, first_id, key[0])
-
-    return keyed.groupBy("text_key").applyInPandasWithState(
-        update, DEDUP_OUTPUT, DEDUP_STATE, "append",
-        GroupStateTimeout.NoTimeout)
-
-
-BAND_REG_OUTPUT = T.StructType([
-    T.StructField("band", T.IntegerType()),
-    T.StructField("bucket", T.LongType()),
-    T.StructField("doc_id", T.LongType()),
-])
-BAND_REG_STATE = T.StructType([T.StructField("taken", T.BooleanType())])
+    return keyed.groupBy("text_key").agg(
+        F.min("doc_id").alias("doc_id")).select("doc_id", "text_key")
 
 
 def streaming_band_registry(docs_stream: DataFrame, bands: int = 16,
@@ -195,44 +139,36 @@ def streaming_band_registry(docs_stream: DataFrame, bands: int = 16,
     band registry. Each arriving doc computes its signature (stateless
     Arrow UDF) and explodes into (band, bucket) keys — the same banding
     as the batch LSH pair join (dedup._banded, identical xxhash64
-    bucketing). State = one claimed flag per (band, bucket); the
-    operator emits each bucket's FIRST owner exactly once across the
-    stream's lifetime (within a micro-batch the min id wins, matching
-    the batch tie-break). A doc that owns ALL of its buckets is novel;
-    any lost bucket means a same-band collision with earlier content —
-    the streaming analogue of incremental fuzzy dedup, with the batch
-    minhash_lsh_pairs path as backfill/compaction.
+    bucketing). State = the minimum owning id per (band, bucket), held
+    by Spark's NATIVE streaming aggregation (one long per key in the
+    JVM state store — no Python boundary in the stateful stage; the
+    r5-shaped applyInPandasWithState form paid ~1 ms of per-GROUP
+    framework cost, which at one group per distinct bucket was the
+    whole operator). Under ascending-id micro-batches (the staged-batch
+    contract every consumer here uses) min-so-far == first-batch-owner,
+    the same answer the boolean-claim registry gave. A doc that owns
+    ALL of its buckets is novel; any lost bucket means a same-band
+    collision with earlier content — the streaming analogue of
+    incremental fuzzy dedup, with the batch minhash_lsh_pairs path as
+    backfill/compaction.
+
+    Run the sink in UPDATE output mode (a streaming aggregation cannot
+    run in append mode without a watermark): a key whose buckets appear
+    in several micro-batches re-emits once per touching batch — with
+    ascending ids every emission carries the SAME owner, and consumers
+    read the registry as groupBy(band, bucket).min(id) over the sink
+    rows (deterministic either way).
 
     Scale shape: state is sharded by (band, bucket) across executors —
-    bands multiply the key space, not the per-key state (one boolean);
+    bands multiply the key space, not the per-key state (one long);
     at ingest scale pair with the RocksDB state store provider exactly
     like streaming_exact_dedup."""
+    from pyspark.sql import functions as F
+
     from ..operators.dedup import _banded, minhash_signatures
 
     sigs = minhash_signatures(docs_stream, text_col=text_col,
                               id_col=id_col, num_perm=num_perm)
     banded = _banded(sigs, id_col, bands, num_perm)
-
-    empty, one = _make_row_frames({"band": "int32", "bucket": "int64",
-                                   "doc_id": "int64"})
-
-    def update(key, pdfs, state: GroupState):
-        if state.exists:
-            for _ in pdfs:
-                pass
-            yield empty
-            return
-        first = None
-        for p in pdfs:
-            if len(p):
-                m = int(p[id_col].min())
-                first = m if first is None else min(first, m)
-        state.update((True,))
-        if first is None:
-            yield empty
-        else:
-            yield _one_row(one, key[0], key[1], first)
-
-    return banded.groupBy("band", "bucket").applyInPandasWithState(
-        update, BAND_REG_OUTPUT, BAND_REG_STATE, "append",
-        GroupStateTimeout.NoTimeout)
+    return banded.groupBy("band", "bucket").agg(
+        F.min(id_col).alias(id_col))

@@ -176,16 +176,19 @@ class TestStreamingDedup:
                   .option("maxFilesPerTrigger", 1)
                   .parquet(str(src)))
         out = streaming_exact_dedup(stream)
-        q = (out.writeStream.outputMode("append")
+        # UPDATE mode (native streaming min-agg): a text key touched by
+        # several batches re-emits once per touching batch; the survivor
+        # set is the min-rollup over the sink rows
+        q = (out.writeStream.outputMode("update")
              .format("memory").queryName("dedup_stream")
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        rows = spark.sql("SELECT * FROM dedup_stream").collect()
+        rows = spark.sql(
+            "SELECT text_key, MIN(doc_id) AS doc_id FROM dedup_stream "
+            "GROUP BY text_key").collect()
         survivors = sorted(r["doc_id"] for r in rows)
-        # one survivor per distinct normalized text; min id wins in-batch;
-        # later-batch dups suppressed ([1,3,4] iff the file source ever
-        # ordered b2 first — the invariant is one survivor per text)
-        assert survivors in ([0, 1, 4], [1, 3, 4])
+        # one survivor per distinct normalized text, min id wins
+        assert survivors == [0, 1, 4]
         assert len(survivors) == 3
 
     def test_restart_from_checkpoint_exactly_once(self, spark, tmp_path):
@@ -211,9 +214,15 @@ class TestStreamingDedup:
             stream = (spark.readStream
                       .schema("doc_id long, text string")
                       .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+            # file sinks only support append; update-mode rows land via
+            # foreachBatch (the standard update-mode-to-files pattern)
+            def sink(batch_df, _bid):
+                batch_df.write.mode("append").parquet(out)
+
             q = (streaming_exact_dedup(stream).writeStream
-                 .outputMode("append").format("parquet")
-                 .option("path", out).option("checkpointLocation", ckpt)
+                 .outputMode("update").foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
                  .trigger(availableNow=True).start())
             q.awaitTermination()
 
@@ -223,10 +232,20 @@ class TestStreamingDedup:
             "text": pa.array(["ALPHA   BETA", "epsilon zeta"]),
         }), str(src / "b2.parquet"))
         run_once()   # restart: must process ONLY b2, with b1's state live
-        rows = spark.read.parquet(out).collect()
+        from pyspark.sql import functions as F
+        raw = spark.read.parquet(out)
+        rows = (raw.groupBy("text_key")
+                .agg(F.min("doc_id").alias("doc_id")).collect())
         survivors = sorted(r["doc_id"] for r in rows)
-        # 2 dups 0 across the restart boundary -> suppressed; no re-emits
+        # 2 dups 0 across the restart boundary -> its re-emission after
+        # the restart must carry b1's surviving id (state carried), and
+        # doc 2 must NOT surface as a survivor
         assert survivors == [0, 1, 3]
+        # state continuity: every emission of a key carries the same id
+        conflicting = (raw.groupBy("text_key")
+                       .agg((F.min("doc_id") != F.max("doc_id"))
+                            .alias("c")).filter("c").count())
+        assert conflicting == 0
 
     def test_rocksdb_state_store(self, spark, tmp_path):
         # the at-ingest-scale state backend: the same stateful dedup with
@@ -259,7 +278,7 @@ class TestStreamingDedup:
                       .option("maxFilesPerTrigger", 1)
                       .parquet(str(src)))
             q = (streaming_exact_dedup(stream).writeStream
-                 .outputMode("append").format("memory")
+                 .outputMode("update").format("memory")
                  .queryName("dedup_rocksdb")
                  .option("checkpointLocation", str(tmp_path / "ckpt_rdb"))
                  .trigger(availableNow=True).start())
@@ -269,8 +288,11 @@ class TestStreamingDedup:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
-        rows = spark.sql("SELECT * FROM dedup_rocksdb").collect()
+        rows = spark.sql(
+            "SELECT text_key, MIN(doc_id) AS doc_id FROM dedup_rocksdb "
+            "GROUP BY text_key").collect()
         assert len(rows) == 3  # alpha-beta deduped across batches
+        assert sorted(r["doc_id"] for r in rows) == [0, 1, 3]
 
 
 class TestStreamingSessions:
@@ -470,25 +492,36 @@ class TestStreamingBandRegistry:
         os.utime(str(src / "b1.parquet"), (1_000_000_000, 1_000_000_000))
         os.utime(str(src / "b2.parquet"), (1_000_000_001, 1_000_000_001))
 
+        from pyspark.sql import functions as F
+
         stream = (spark.readStream.schema("doc_id long, text string")
                   .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        # UPDATE mode (native streaming min-agg): a bucket touched by
+        # several batches re-emits once per touching batch — with
+        # ascending ids every emission of a key carries the SAME owner
         q = (streaming_band_registry(stream).writeStream
-             .outputMode("append").format("memory")
+             .outputMode("update").format("memory")
              .queryName("band_reg_test")
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        reg = spark.table("band_reg_test").collect()
+        raw = spark.table("band_reg_test")
+        # deterministic registry read: min owner per (band, bucket)
+        reg = (raw.groupBy("band", "bucket")
+               .agg(F.min("doc_id").alias("doc_id")).collect())
         owners = {}
         for r in reg:
             owners.setdefault(r["doc_id"], 0)
             owners[r["doc_id"]] += 1
-        # every bucket emitted exactly once; 16 bands per distinct bucket
-        # set. doc 0 owns all its 16; doc 2 owns all its 16; doc 1 (the
-        # near-dup) lost at least one bucket to doc 0 — a doc that shares
-        # any band with earlier content is flagged.
+        # 16 bands per distinct bucket set. doc 0 owns all its 16; doc 2
+        # owns all its 16; doc 1 (the near-dup) lost at least one bucket
+        # to doc 0 — a doc that shares any band with earlier content is
+        # flagged.
         assert owners.get(0) == 16
         assert owners.get(2) == 16
         assert owners.get(1, 0) < 16
-        # registry is exactly-once per (band, bucket)
-        keys = [(r["band"], r["bucket"]) for r in reg]
-        assert len(keys) == len(set(keys))
+        # every re-emission of a key carries the identical owner (the
+        # ascending-id staging invariant the deduped read relies on)
+        conflicting = (raw.groupBy("band", "bucket")
+                       .agg((F.min("doc_id") != F.max("doc_id"))
+                            .alias("c")).filter("c").count())
+        assert conflicting == 0
