@@ -33,6 +33,11 @@ from pyspark.sql import types as T
 _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX2 = np.uint64(0x94D049BB133111EB)
 
+# cap on the per-task gram-set memo used by the pair-verify kernels: at
+# ~2.5 KB per typical web doc this bounds a Python worker's cache near
+# 500 MB even on adversarial partitions; normal tasks stay far below it
+_GRAM_CACHE_MAX = 200_000
+
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     x = (x + np.uint64(0x9E3779B97F4A7C15))
@@ -143,14 +148,30 @@ def minhash_lsh_pairs(signatures: DataFrame, id_col: str = "doc_id",
                   .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    pairs = (
         left.join(right, (F.col("l.band") == F.col("r.band"))
                   & (F.col("l.bucket") == F.col("r.bucket"))
                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
     )
+    return _distinct_pairs(pairs)
+
+
+def _distinct_pairs(pairs: DataFrame, cols=("id_a", "id_b")) -> DataFrame:
+    """Cross-band pair dedup sized for the pair volume, not the session
+    default. A band join emits O(sum bucket^2) rows — typically 10-1000x
+    the doc count — so a `.distinct()` at the session's (input-sized)
+    shuffle width leaves each reducer a multi-100k-row hash aggregate
+    (measured 11.6 s for 12.7M pairs at 16 partitions vs 3.2 s at 64 on
+    the same data; guide §2.2 'fewer, larger' cuts the other way when the
+    operator's own output is the big side). Width scales with cluster
+    parallelism; AQE coalesces it back down when the pair set is small."""
+    sc = pairs.sparkSession.sparkContext
+    parts = max(8 * sc.defaultParallelism,
+                int(pairs.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200")))
+    return pairs.repartition(parts, *cols).dropDuplicates()
 
 
 def _banded(signatures: DataFrame, id_col: str, bands: int,
@@ -193,10 +214,29 @@ def lsh_bucket_stats(signatures: DataFrame, id_col: str = "doc_id",
             .filter(F.col("members") > max_bucket))
 
 
+def canonical_signatures(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", num_perm: int = 64,
+                         shingle_k: int = 5) -> DataFrame:
+    """exact_dedup -> minhash signatures over the canonical (min-id) doc
+    per distinct normalized text — the persisted signature table every
+    near-dup consumer shares (minhash_near_dup's first two stages, split
+    out so a session/pipeline computes them once)."""
+    canon = (
+        docs.select(F.col(id_col), F.col(text_col),
+                    F.xxhash64(normalized_text(F.col(text_col)))
+                    .alias("text_key"))
+        .groupBy("text_key")
+        .agg(F.min(id_col).alias(id_col),
+             F.min_by(text_col, F.col(id_col)).alias(text_col))
+    )
+    return minhash_signatures(canon, text_col, id_col, num_perm, shingle_k)
+
+
 def minhash_near_dup(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", num_perm: int = 64,
                      bands: int = 16, shingle_k: int = 5,
-                     max_bucket: Optional[int] = 1000) -> DataFrame:
+                     max_bucket: Optional[int] = 1000,
+                     canon_sigs: Optional[DataFrame] = None) -> DataFrame:
     """The composed duplicate-heavy-safe near-dup plan:
 
         exact_dedup (hash groupBy, collapses identical texts)
@@ -207,16 +247,14 @@ def minhash_near_dup(docs: DataFrame, text_col: str = "text",
     never reach the band join, so the classic blowup (a million identical
     docs sharing every band bucket) is structurally impossible; the bucket
     cap then bounds the residual near-dup clusters. Returns candidate pairs
-    between canonical doc ids (pair of cluster representatives)."""
-    canon = (
-        docs.select(F.col(id_col), F.col(text_col),
-                    F.xxhash64(normalized_text(F.col(text_col)))
-                    .alias("text_key"))
-        .groupBy("text_key")
-        .agg(F.min(id_col).alias(id_col),
-             F.min_by(text_col, F.col(id_col)).alias(text_col))
-    )
-    sigs = minhash_signatures(canon, text_col, id_col, num_perm, shingle_k)
+    between canonical doc ids (pair of cluster representatives).
+
+    ``canon_sigs``: a precomputed/persisted canonical_signatures(docs)
+    frame — pass it when several consumers share one corpus so the
+    dedup+signature stages run once instead of once per consumer."""
+    sigs = (canon_sigs if canon_sigs is not None
+            else canonical_signatures(docs, text_col, id_col, num_perm,
+                                      shingle_k))
     return minhash_lsh_pairs(sigs, id_col, bands, num_perm,
                              max_bucket=max_bucket)
 
@@ -324,21 +362,22 @@ def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
         chunked = (chunked.withColumn("_bsz", F.count("*").over(w))
                    .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
     l, r = chunked.alias("l"), chunked.alias("r")
+    # exact Hamming distance JVM-side (popcount via bit_count) computed on
+    # the RAW join output, so the cross-chunk dedup shuffles (id_a, id_b,
+    # hamming) instead of the two full simhashes — hamming is a function
+    # of the pair, so distinct-on-3-cols == distinct-on-pairs (guide §2.3,
+    # shuffle fewer bytes)
     pairs = (
         l.join(r, (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
                & (F.col("l.chunk_val") == F.col("r.chunk_val"))
                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
         .select(F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"),
-                F.col("l.simhash").alias("sim_a"),
-                F.col("r.simhash").alias("sim_b"))
-        .distinct()
+                F.bit_count(F.col("l.simhash")
+                            .bitwiseXOR(F.col("r.simhash")))
+                .alias("hamming"))
     )
-    # exact Hamming distance JVM-side: popcount via bit_count
-    return pairs.withColumn(
-        "hamming",
-        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
-    ).select("id_a", "id_b", "hamming")
+    return _distinct_pairs(pairs)
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
@@ -414,13 +453,22 @@ def ngram_jaccard_pairs_fast(docs: DataFrame, pairs: DataFrame,
                        normalized_text(F.col(text_col)).alias("_nt"))
     a, b = norm.alias("a"), norm.alias("b")
 
+    # TASK-scoped memo (one closure deserialization per task, shared by
+    # every Arrow batch the task processes): a doc in k candidate pairs
+    # has its gram set built once per TASK, not once per 20k-row batch —
+    # gram building, not the intersections, dominated the verify stage
+    # (a batch touching 20k distinct texts re-hashed them all; guide §4.5,
+    # heavyweight init once per task). Bounded: cleared past _GRAM_CACHE_MAX
+    # entries so a worker never holds more than ~one partition's texts.
+    cache: dict = {}
+
     @F.pandas_udf(T.DoubleType())
     def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        cache: dict = {}
-
         def grams(t):
             g = cache.get(t)
             if g is None:
+                if len(cache) >= _GRAM_CACHE_MAX:
+                    cache.clear()
                 g = _gram_hash_np(t, n)
                 cache[t] = g
             return g
@@ -626,7 +674,8 @@ def minhash_cross_candidates(sig_new: DataFrame, sig_corpus: DataFrame,
         w = Window.partitionBy("band", "bucket")
         b = (b.withColumn("_bsz", F.count("*").over(w))
              .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
-    return a.join(b, ["band", "bucket"]).select("id_a", "id_b").distinct()
+    return _distinct_pairs(
+        a.join(b, ["band", "bucket"]).select("id_a", "id_b"))
 
 
 def minhash_cross_dedup(new_docs: DataFrame, corpus: DataFrame,
@@ -953,13 +1002,16 @@ def ngram_overlap_pairs_fast(docs: DataFrame, pairs: DataFrame,
                        normalized_text(F.col(text_col)).alias("_nt"))
     a, b = norm.alias("a"), norm.alias("b")
 
+    # task-scoped gram memo, same rationale as ngram_jaccard_pairs_fast
+    cache: dict = {}
+
     @F.pandas_udf("n_common long, n_a long, n_b long")
     def _ov(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
-        cache: dict = {}
-
         def grams(t):
             g = cache.get(t)
             if g is None:
+                if len(cache) >= _GRAM_CACHE_MAX:
+                    cache.clear()
                 g = _gram_hash_np(t, n)
                 cache[t] = g
             return g

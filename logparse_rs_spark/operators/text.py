@@ -329,9 +329,11 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 64,
     )
 
 
-def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, bigram) pairs — the shared scan of both lm_score passes."""
-    words = _words(F.col(text_col))
+def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str,
+                 words_col: str | None = None) -> DataFrame:
+    """(id, bigram) pairs — the shared scan of both lm_score passes.
+    ``words_col``: optional pre-tokenized array column to reuse."""
+    words = F.col(words_col) if words_col else _words(F.col(text_col))
     bigrams = F.when(
         F.size(words) >= 2,
         F.transform(F.sequence(F.lit(1), F.size(words) - 1),
@@ -341,7 +343,8 @@ def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def lm_bigram_model(docs: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> tuple:
+                    id_col: str = "doc_id",
+                    words_col: str | None = None) -> tuple:
     """PASS 1 of the at-scale lm_score deployment: build the corpus bigram
     count model as two vocab-sized DataFrames plus the vocabulary size —
     (bigram_counts(bigram, bg_n), first_word_counts(w1, un_n), vocab).
@@ -349,18 +352,23 @@ def lm_bigram_model(docs: DataFrame, text_col: str = "text",
     corpus-sized shuffles except the (doc, bigram) pairs once), meant to be
     persisted (e.g. parquet) and broadcast at apply time, so the scoring
     pass over a 10^12-doc corpus never rebuilds or shuffles the model."""
-    doc_bg = _doc_bigrams(docs, text_col, id_col)
+    doc_bg = _doc_bigrams(docs, text_col, id_col, words_col)
     bg_counts = doc_bg.groupBy("bigram").agg(F.count("*").alias("bg_n"))
     un_counts = (doc_bg
                  .select(F.split(F.col("bigram"), " ").getItem(0).alias("w1"))
                  .groupBy("w1").agg(F.count("*").alias("un_n")))
-    vocab = (docs.select(F.explode(_words(F.col(text_col))).alias("t"))
+    # per-doc array_distinct BEFORE the explode: the distinct-count is
+    # unchanged, the exploded row volume drops to the per-doc distinct
+    # vocabulary (guide §2.3, aggregate before you shuffle)
+    wcol = F.col(words_col) if words_col else _words(F.col(text_col))
+    vocab = (docs.select(F.explode(F.array_distinct(wcol)).alias("t"))
              .agg(F.count_distinct("t")).first()[0])
     return bg_counts, un_counts, int(vocab)
 
 
 def lm_score(docs: DataFrame, text_col: str = "text",
-             id_col: str = "doc_id", model: tuple | None = None) -> DataFrame:
+             id_col: str = "doc_id", model: tuple | None = None,
+             words_col: str | None = None) -> DataFrame:
     """Statistical language-model quality score (the perplexity-filter
     step of C4/CCNet-style curation, with EXACT corpus counts instead of
     an external KenLM): score(doc) = mean over its bigrams of
@@ -384,13 +392,14 @@ def lm_score(docs: DataFrame, text_col: str = "text",
       with un_n(w1) = 0 for a first word the model never saw."""
     from pyspark.sql import Window
 
-    doc_bg = _doc_bigrams(docs, text_col, id_col)
+    doc_bg = _doc_bigrams(docs, text_col, id_col, words_col)
     w1 = F.split(F.col("bigram"), " ").getItem(0)
     if model is None:
         bg_n = F.count("*").over(Window.partitionBy("bigram"))
         un_n = F.count("*").over(Window.partitionBy(w1))
-        words = _words(F.col(text_col))
-        vocab = docs.select(F.explode(words).alias("t")) \
+        words = (F.col(words_col) if words_col
+                 else _words(F.col(text_col)))
+        vocab = docs.select(F.explode(F.array_distinct(words)).alias("t")) \
             .agg(F.count_distinct("t")).first()[0]
         scored = doc_bg.select(
             F.col(id_col),
