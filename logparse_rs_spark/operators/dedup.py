@@ -33,10 +33,65 @@ from pyspark.sql import types as T
 _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX2 = np.uint64(0x94D049BB133111EB)
 
-# cap on the per-task gram-set memo used by the pair-verify kernels: at
-# ~2.5 KB per typical web doc this bounds a Python worker's cache near
-# 500 MB even on adversarial partitions; normal tasks stay far below it
+# ---- worker-global gram memo for the pair-verify kernels ------------------
+#
+# The verify UDFs live in this importable module, so a reused Python worker
+# (spark.python.worker.reuse, the default) resolves these globals ONCE per
+# worker process and keeps them across tasks (guide §4.5) — a doc appearing
+# in candidate pairs across many tasks/batches has its gram set built once
+# per worker, not once per batch. Two representations per (n, text):
+#
+# - a sorted uint64 hash array (the universal form), and
+# - when the worker's observed gram universe is small (< _GRAM_BITS_CAP
+#   distinct grams so far), an arbitrary-precision int BITMASK over a
+#   worker-local gram->bit index: |A ∩ B| = (ma & mb).bit_count() — one AND
+#   + popcount per pair instead of an O((|A|+|B|) log) numpy set merge.
+#   Bit indices are append-only, so masks built earlier remain valid as the
+#   index grows; a text seen after the cap, or containing past-cap grams,
+#   simply has no mask and the pair falls back to the array merge. Both
+#   paths are exact (same hash set); parity is property-tested.
+#
+# Memory: the memo is cleared past _GRAM_CACHE_MAX entries (~2.5 KB/array +
+# mask bytes <= cap/8 per entry); the bit index is bounded by the cap.
 _GRAM_CACHE_MAX = 200_000
+_GRAM_BITS_CAP = 1 << 16
+_GRAM_MEMO: dict = {}
+_GRAM_BITS: dict = {}
+
+
+def _gram_entry(t: str, n: int):
+    """(sorted uint64 array, size, mask-or-None) for a normalized text,
+    memoized per worker process."""
+    key = (n, t)
+    e = _GRAM_MEMO.get(key)
+    if e is None:
+        if len(_GRAM_MEMO) >= _GRAM_CACHE_MAX:
+            _GRAM_MEMO.clear()
+        g = _gram_hash_np(t, n)
+        idx = _GRAM_BITS.setdefault(n, {})
+        mask = 0
+        get = idx.get
+        for h in g.tolist():
+            i = get(h)
+            if i is None:
+                if len(idx) >= _GRAM_BITS_CAP:
+                    mask = None
+                    break
+                i = len(idx)
+                idx[h] = i
+            mask |= 1 << i
+        e = (g, g.size, mask)
+        _GRAM_MEMO[key] = e
+    return e
+
+
+def _pair_common(ea, eb) -> int:
+    """|A ∩ B| from two _gram_entry results — popcount when both sides
+    have masks, exact sorted-merge otherwise."""
+    ma, mb = ea[2], eb[2]
+    if ma is not None and mb is not None:
+        return (ma & mb).bit_count()
+    return int(np.intersect1d(ea[0], eb[0], assume_unique=True).size)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -453,33 +508,18 @@ def ngram_jaccard_pairs_fast(docs: DataFrame, pairs: DataFrame,
                        normalized_text(F.col(text_col)).alias("_nt"))
     a, b = norm.alias("a"), norm.alias("b")
 
-    # TASK-scoped memo (one closure deserialization per task, shared by
-    # every Arrow batch the task processes): a doc in k candidate pairs
-    # has its gram set built once per TASK, not once per 20k-row batch —
-    # gram building, not the intersections, dominated the verify stage
-    # (a batch touching 20k distinct texts re-hashed them all; guide §4.5,
-    # heavyweight init once per task). Bounded: cleared past _GRAM_CACHE_MAX
-    # entries so a worker never holds more than ~one partition's texts.
-    cache: dict = {}
-
+    # worker-global gram memo + bitmask intersection (see _gram_entry):
+    # gram building and the per-pair set merges both collapse to hash
+    # lookups + one AND/popcount per pair
     @F.pandas_udf(T.DoubleType())
     def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        def grams(t):
-            g = cache.get(t)
-            if g is None:
-                if len(cache) >= _GRAM_CACHE_MAX:
-                    cache.clear()
-                g = _gram_hash_np(t, n)
-                cache[t] = g
-            return g
-
         out = []
         for x, y in zip(ta, tb):
             # null text == empty gram set (matches ngram_jaccard, where a
             # null normalized text yields an empty grams array)
-            ga, gb = grams(x or ""), grams(y or "")
-            inter = np.intersect1d(ga, gb, assume_unique=True).size
-            union = ga.size + gb.size - inter
+            ea, eb = _gram_entry(x or "", n), _gram_entry(y or "", n)
+            inter = _pair_common(ea, eb)
+            union = ea[1] + eb[1] - inter
             out.append(float(inter) / union if union else None)
         return pd.Series(out, index=ta.index, dtype="float64")
 
@@ -1002,25 +1042,14 @@ def ngram_overlap_pairs_fast(docs: DataFrame, pairs: DataFrame,
                        normalized_text(F.col(text_col)).alias("_nt"))
     a, b = norm.alias("a"), norm.alias("b")
 
-    # task-scoped gram memo, same rationale as ngram_jaccard_pairs_fast
-    cache: dict = {}
-
+    # worker-global gram memo + bitmask intersection, same kernel as
+    # ngram_jaccard_pairs_fast (see _gram_entry)
     @F.pandas_udf("n_common long, n_a long, n_b long")
     def _ov(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
-        def grams(t):
-            g = cache.get(t)
-            if g is None:
-                if len(cache) >= _GRAM_CACHE_MAX:
-                    cache.clear()
-                g = _gram_hash_np(t, n)
-                cache[t] = g
-            return g
-
         rows = []
         for x, y in zip(ta, tb):
-            ga, gb = grams(x or ""), grams(y or "")
-            inter = np.intersect1d(ga, gb, assume_unique=True).size
-            rows.append((int(inter), int(ga.size), int(gb.size)))
+            ea, eb = _gram_entry(x or "", n), _gram_entry(y or "", n)
+            rows.append((_pair_common(ea, eb), ea[1], eb[1]))
         return pd.DataFrame(rows, columns=["n_common", "n_a", "n_b"],
                             index=ta.index)
 

@@ -113,9 +113,13 @@ def token_counts(docs: DataFrame, text_col: str = "text",
         F.size(F.split(trimmed, WORD_SPLIT_CLASS)))
     n_sym = F.length(F.regexp_replace(text, f"[A-Za-z0-9{WS_CHARS}]", ""))
     alnum_chars = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
+    # maximal-alnum-run count via regex collapse (each run -> one 'x',
+    # count the x's): identical to size(filter(split(text, non-alnum+),
+    # != '')) — the higher-order filter form is CodegenFallback and ran
+    # interpreted per row, measured 15x slower than this codegen'd chain
     alnum_runs = F.when(trimmed == "", 0).otherwise(
-        F.size(F.filter(F.split(text, r"[^A-Za-z0-9]+"),
-                        lambda x: x != "")))
+        F.length(F.regexp_replace(
+            F.regexp_replace(text, "[A-Za-z0-9]+", "x"), "[^x]", "")))
     bpe_est = (alnum_runs + F.floor((alnum_chars + 3) / 4) + n_sym)
     return docs.select(
         F.col(id_col),
