@@ -242,6 +242,84 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             .withColumn("cos_sim", F.round("cos_sim", 6)))
 
 
+def _neardup_pairs_broadcast(vectors: DataFrame, dim: int, threshold: float,
+                             n_planes: int, bands: int, seed: int,
+                             id_col: str, vec_col: str):
+    """Broadcast-matrix fast path for neardup_pairs, or None when the
+    vector set exceeds the broadcast budget.
+
+    The banded plan shuffles every embedding once PER BAND (guide §2.3:
+    the exchange carries the heavy payload `bands` times so a few bytes of
+    bucket key can be grouped on), and applyInPandas re-inflates the
+    vector column into numpy per group. When the whole (rows, dim) matrix
+    fits the broadcast budget (LPS_NEARDUP_BCAST_MB, default 64 MB — the
+    same order as an auto-broadcast join side), each band is instead an
+    independent numpy task over the broadcast matrix: zero embedding
+    shuffle, bucket slicing by signature bits, and only surviving pairs
+    leave the task. Identical output: same candidate set (pairs sharing
+    >= 1 band bucket), same exact-float64 cosine, same final min/round
+    dedup. A float32 coarse gate (margin 1e-3 >> the f32 matmul error
+    bound of ~dim*2^-20 on unit vectors) only PRE-SELECTS candidates;
+    every emitted score is exact float64, and the gate cannot drop a true
+    pair because the margin exceeds the rounding error."""
+    import os
+
+    budget = int(os.environ.get("LPS_NEARDUP_BCAST_MB", "64")) << 20
+    max_rows = max(1, budget // (dim * 8))
+    head = vectors.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(head) > max_rows:
+        return None
+    spark = vectors.sparkSession
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+    ])
+    if not head:
+        pairs = spark.createDataFrame([], out_schema)
+        return (pairs.groupBy("id_a", "id_b")
+                .agg(F.round(F.min("cos_sim"), 6).alias("cos_sim")))
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    ids = np.array([r[0] for r in head], dtype=np.int64)
+    vm = np.array([list(r[1]) for r in head], dtype=np.float64)
+    sigs = hyperplane_sig_np(vm, hyperplane_planes(dim, n_planes, seed))
+    norms = np.linalg.norm(vm, axis=1)
+    norms[norms == 0] = 1.0
+    vn = vm / norms[:, None]
+    bc = spark.sparkContext.broadcast(
+        (ids, vn, vn.astype(np.float32), sigs.view(np.uint64)))
+    coarse = threshold - 1e-3
+
+    def score_bands(pdfs):
+        b_ids, b_vn, b_vn32, b_usigs = bc.value
+        for pdf in pdfs:
+            for band in pdf["id"].tolist():
+                buckets = (b_usigs >> np.uint64(band * width)) \
+                    & np.uint64(mask)
+                for v in range(mask + 1):
+                    idx = np.nonzero(buckets == np.uint64(v))[0]
+                    if len(idx) < 2:
+                        continue
+                    sub32 = b_vn32[idx]
+                    ia, ib = np.nonzero(sub32 @ sub32.T >= coarse)
+                    up = ia < ib
+                    ia, ib = idx[ia[up]], idx[ib[up]]
+                    cos = np.einsum("ij,ij->i", b_vn[ia], b_vn[ib])
+                    keep = cos >= threshold
+                    ia, ib, cos = ia[keep], ib[keep], cos[keep]
+                    yield pd.DataFrame({
+                        "id_a": np.minimum(b_ids[ia], b_ids[ib]),
+                        "id_b": np.maximum(b_ids[ia], b_ids[ib]),
+                        "cos_sim": cos,
+                    })
+
+    pairs = (spark.range(0, bands, 1, numPartitions=bands)
+             .mapInPandas(score_bands, schema=out_schema))
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.round(F.min("cos_sim"), 6).alias("cos_sim")))
+
+
 def neardup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.35,
                   n_planes: int = 32, bands: int = 16, seed: int = 13,
                   id_col: str = "vec_id",
@@ -260,6 +338,10 @@ def neardup_pairs(vectors: DataFrame, dim: int, threshold: float = 0.35,
     """
     width = n_planes // bands
     mask = (1 << width) - 1
+    bc_pairs = _neardup_pairs_broadcast(vectors, dim, threshold, n_planes,
+                                        bands, seed, id_col, vec_col)
+    if bc_pairs is not None:
+        return bc_pairs
     sigs = hyperplane_signatures(vectors, dim, n_planes, seed, id_col,
                                  vec_col)
     banded = sigs.select(
