@@ -540,22 +540,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # language filter -> exact-dedup survivors -> per-language corpus
         # stats. Every stage is a narrow projection or a hash agg; the only
         # shuffles are the dedup groupBy and the final per-lang agg.
+        from pyspark.sql import Window
+
         from logparse_rs_spark.operators.dedup import normalized_text
         from logparse_rs_spark.operators.text import (language_id,
                                                       quality_score,
                                                       token_counts)
+        # single-pass composition: every stage is a per-row projection of
+        # the same scan, so the metric frames chain through keep_cols
+        # instead of re-scanning + self-joining on doc_id (the r5 plan ran
+        # 5 scans and 4 joins — ~10 Exchanges — to compose row-wise
+        # functions; guide §2.4, remove shuffles outright). The exact-dedup
+        # winner check is a min-over-window on the same tk partitioning the
+        # old groupBy+join pair needed two exchanges for.
         docs = _docs(spark, sf_dir)
-        q = quality_score(docs)
-        l = language_id(docs).select("doc_id", "lang_pred")
-        t = token_counts(docs).select("doc_id", "bpe_token_est")
-        canon = (docs.select(
-                    "doc_id",
-                    F.xxhash64(normalized_text(F.col("text"))).alias("tk"))
-                 .groupBy("tk").agg(F.min("doc_id").alias("doc_id"))
-                 .select("doc_id"))
-        kept = (q.join(l, "doc_id").join(t, "doc_id").join(canon, "doc_id")
-                .join(docs.select("doc_id", "lang"), "doc_id")
-                .filter((F.col("alpha_ratio") >= 0.7)
+        base = docs.select(
+            "doc_id", "lang", "text",
+            F.xxhash64(normalized_text(F.col("text"))).alias("tk"))
+        q = quality_score(base, keep_cols=("lang", "text", "tk"))
+        l = language_id(q, keep_cols=("lang", "text", "tk", "n_words",
+                                      "alpha_ratio"))
+        t = token_counts(l, keep_cols=("lang", "tk", "n_words",
+                                       "alpha_ratio", "lang_pred"))
+        canon_min = F.min("doc_id").over(Window.partitionBy("tk"))
+        kept = (t.withColumn("_cmin", canon_min)
+                .filter((F.col("doc_id") == F.col("_cmin"))
+                        & (F.col("alpha_ratio") >= 0.7)
                         & (F.col("n_words") >= 30)
                         & (F.col("lang_pred") != "unknown")))
         return (kept.groupBy("lang")
