@@ -94,6 +94,111 @@ def _pair_common(ea, eb) -> int:
     return int(np.intersect1d(ea[0], eb[0], assume_unique=True).size)
 
 
+_PAIR_VEC_STATE: dict = {}
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def _pair_vec_state(bc, n: int):
+    """Per-(worker, broadcast, n) vectorized gram state: the broadcast
+    texts' masks packed into one (docs, ceil(bits/8)) uint8 matrix plus a
+    sorted id index, so a batch of candidate pairs intersects via one
+    numpy AND + LUT-popcount instead of a Python loop (measured ~10x on
+    the verify stage). Rows whose text fell past the bitmask cap keep
+    their exact _gram_entry and are merged per pair on the fallback path
+    — both paths are exact, same guarantee as _pair_common."""
+    # keyed by the VALUE dict's object identity: the worker's broadcast
+    # registry caches one deserialized value per broadcast, and the state
+    # holds a strong reference so the address cannot be reused while the
+    # entry lives
+    texts = bc.value
+    key = (id(texts), n)
+    st = _PAIR_VEC_STATE.get(key)
+    if st is None:
+        items = list(texts.items())
+        ids = np.array([i for i, _ in items], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids_sorted = ids[order]
+        entries = [_gram_entry(items[j][1] or "", n)
+                   for j in order.tolist()]
+        nbits = len(_GRAM_BITS.get(n, {}))
+        nbytes = max(1, (nbits + 7) // 8)
+        m = np.zeros((len(entries), nbytes), dtype=np.uint8)
+        sizes = np.zeros(len(entries), dtype=np.int64)
+        have = np.zeros(len(entries), dtype=bool)
+        for row, e in enumerate(entries):
+            sizes[row] = e[1]
+            if e[2] is not None:
+                m[row] = np.frombuffer(e[2].to_bytes(nbytes, "little"),
+                                       dtype=np.uint8)
+                have[row] = True
+        st = (ids_sorted, m, sizes, have, entries, texts)
+        if len(_PAIR_VEC_STATE) > 8:
+            _PAIR_VEC_STATE.clear()
+        _PAIR_VEC_STATE[key] = st
+    return st
+
+
+def _pair_counts_vec(st, ia: np.ndarray, ib: np.ndarray):
+    """(n_common, n_a, n_b) int64 arrays for pair id arrays whose ids are
+    all present in the broadcast state (enforced: raises on a miss rather
+    than silently mis-rowing)."""
+    ids_sorted, m, sizes, have, entries, _ = st
+    ra = np.searchsorted(ids_sorted, ia).clip(0, len(ids_sorted) - 1)
+    rb = np.searchsorted(ids_sorted, ib).clip(0, len(ids_sorted) - 1)
+    if not (np.array_equal(ids_sorted[ra], ia)
+            and np.array_equal(ids_sorted[rb], ib)):
+        raise ValueError("pair id missing from broadcast text state")
+    inter = _POP8[m[ra] & m[rb]].sum(axis=1, dtype=np.int64)
+    ok = have[ra] & have[rb]
+    if not ok.all():
+        for k in np.nonzero(~ok)[0].tolist():
+            inter[k] = _pair_common(entries[ra[k]], entries[rb[k]])
+    return inter, sizes[ra], sizes[rb]
+
+
+def _bcast_norm_texts(docs: DataFrame, text_col: str, id_col: str):
+    """Broadcast {id: normalized text} for the pair-verify kernels, or
+    None when the corpus exceeds the broadcast budget
+    (LPS_PAIRVERIFY_BCAST_MB, default 64 MB).
+
+    The join form ships each doc's normalized text once PER CANDIDATE
+    PAIR through two id-keyed joins — for a 12.6M-pair set over a 14 MB
+    corpus that is ~7.5 GB of duplicated text through the exchanges
+    (guide §8: shuffle a lightweight proxy, keep the heavy bytes still).
+    Sizing probe: a 1k-row length sample plus a pruned count estimates
+    the total; oversized corpora return None and keep the join plan."""
+    import os
+
+    budget = int(os.environ.get("LPS_PAIRVERIFY_BCAST_MB", "64")) << 20
+    norm = docs.select(F.col(id_col).cast("long").alias("_id"),
+                       normalized_text(F.col(text_col)).alias("_nt"))
+    sample = norm.select(F.length("_nt").alias("L")).limit(1000).collect()
+    if not sample:
+        return {}
+    avg = sum((r[0] or 0) for r in sample) / len(sample)
+    n_rows = docs.select(id_col).count()
+    if n_rows * (avg + 120) > budget:
+        return None
+    rows = norm.collect()
+    if sum(len(r[1] or "") for r in rows) + 120 * len(rows) > budget:
+        return None
+    return {r[0]: r[1] for r in rows}
+
+
+def _pairs_with_known_ids(pairs: DataFrame, docs: DataFrame,
+                          id_col: str) -> DataFrame:
+    """Mirror the join form's inner-join semantics on the broadcast
+    path: a pair whose side is absent from docs is dropped, not scored
+    against an empty text. Ids-only broadcast hash joins — the pair
+    frame is never exchanged."""
+    ids = docs.select(id_col)
+    return (pairs
+            .join(F.broadcast(ids.withColumnRenamed(id_col, "id_a")),
+                  "id_a")
+            .join(F.broadcast(ids.withColumnRenamed(id_col, "id_b")),
+                  "id_b"))
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     x = (x + np.uint64(0x9E3779B97F4A7C15))
     x = (x ^ (x >> np.uint64(30))) * _MIX1
@@ -504,24 +609,51 @@ def ngram_jaccard_pairs_fast(docs: DataFrame, pairs: DataFrame,
     side is small; sort-merge at corpus scale) and one narrow pandas stage —
     no gram arrays ever enter a shuffle.
     """
-    norm = docs.select(F.col(id_col),
-                       normalized_text(F.col(text_col)).alias("_nt"))
-    a, b = norm.alias("a"), norm.alias("b")
-
-    # worker-global gram memo + bitmask intersection (see _gram_entry):
-    # gram building and the per-pair set merges both collapse to hash
-    # lookups + one AND/popcount per pair
-    @F.pandas_udf(T.DoubleType())
-    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+    def jac_rows(text_pairs):
+        # worker-global gram memo + bitmask intersection (see
+        # _gram_entry): gram building and the per-pair set merges both
+        # collapse to hash lookups + one AND/popcount per pair. null text
+        # == empty gram set (matches ngram_jaccard, where a null
+        # normalized text yields an empty grams array)
         out = []
-        for x, y in zip(ta, tb):
-            # null text == empty gram set (matches ngram_jaccard, where a
-            # null normalized text yields an empty grams array)
+        for x, y in text_pairs:
             ea, eb = _gram_entry(x or "", n), _gram_entry(y or "", n)
             inter = _pair_common(ea, eb)
             union = ea[1] + eb[1] - inter
             out.append(float(inter) / union if union else None)
-        return pd.Series(out, index=ta.index, dtype="float64")
+        return out
+
+    texts = _bcast_norm_texts(docs, text_col, id_col)
+    if texts is not None:
+        bc = docs.sparkSession.sparkContext.broadcast(texts)
+
+        @F.pandas_udf(T.DoubleType())
+        def _jac_bc(ia: pd.Series, ib: pd.Series) -> pd.Series:
+            st = _pair_vec_state(bc, n)
+            inter, na, nb = _pair_counts_vec(
+                st, ia.to_numpy(np.int64), ib.to_numpy(np.int64))
+            union = na + nb - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = inter / union
+            # 0/0 -> nan, which the Arrow conversion nulls — identical to
+            # the scalar form's None for an empty union
+            vals = np.where(union == 0, np.nan, vals)
+            return pd.Series(vals, index=ia.index, dtype="float64")
+
+        return (_pairs_with_known_ids(pairs, docs, id_col)
+                .select("id_a", "id_b",
+                        _jac_bc(F.col("id_a").cast("long"),
+                                F.col("id_b").cast("long"))
+                        .alias("jaccard")))
+
+    norm = docs.select(F.col(id_col),
+                       normalized_text(F.col(text_col)).alias("_nt"))
+    a, b = norm.alias("a"), norm.alias("b")
+
+    @F.pandas_udf(T.DoubleType())
+    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series(jac_rows(zip(ta, tb)), index=ta.index,
+                         dtype="float64")
 
     return (
         pairs.join(a, pairs["id_a"] == F.col(f"a.{id_col}"))
@@ -1038,19 +1170,41 @@ def ngram_overlap_pairs_fast(docs: DataFrame, pairs: DataFrame,
     returned counts are exact integers so any engine reproduces them
     bit-for-bit. No gram arrays ever enter a shuffle.
     """
+    def ov_rows(text_pairs):
+        # worker-global gram memo + bitmask intersection, same kernel as
+        # ngram_jaccard_pairs_fast (see _gram_entry)
+        rows = []
+        for x, y in text_pairs:
+            ea, eb = _gram_entry(x or "", n), _gram_entry(y or "", n)
+            rows.append((_pair_common(ea, eb), ea[1], eb[1]))
+        return rows
+
+    texts = _bcast_norm_texts(docs, text_col, id_col)
+    if texts is not None:
+        bc = docs.sparkSession.sparkContext.broadcast(texts)
+
+        @F.pandas_udf("n_common long, n_a long, n_b long")
+        def _ov_bc(ia: pd.Series, ib: pd.Series) -> pd.DataFrame:
+            st = _pair_vec_state(bc, n)
+            inter, na, nb = _pair_counts_vec(
+                st, ia.to_numpy(np.int64), ib.to_numpy(np.int64))
+            return pd.DataFrame({"n_common": inter, "n_a": na,
+                                 "n_b": nb}, index=ia.index)
+
+        return (_pairs_with_known_ids(pairs, docs, id_col)
+                .select("id_a", "id_b",
+                        _ov_bc(F.col("id_a").cast("long"),
+                               F.col("id_b").cast("long")).alias("_o"))
+                .select("id_a", "id_b", "_o.n_common", "_o.n_a", "_o.n_b"))
+
     norm = docs.select(F.col(id_col),
                        normalized_text(F.col(text_col)).alias("_nt"))
     a, b = norm.alias("a"), norm.alias("b")
 
-    # worker-global gram memo + bitmask intersection, same kernel as
-    # ngram_jaccard_pairs_fast (see _gram_entry)
     @F.pandas_udf("n_common long, n_a long, n_b long")
     def _ov(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
-        rows = []
-        for x, y in zip(ta, tb):
-            ea, eb = _gram_entry(x or "", n), _gram_entry(y or "", n)
-            rows.append((_pair_common(ea, eb), ea[1], eb[1]))
-        return pd.DataFrame(rows, columns=["n_common", "n_a", "n_b"],
+        return pd.DataFrame(ov_rows(zip(ta, tb)),
+                            columns=["n_common", "n_a", "n_b"],
                             index=ta.index)
 
     return (
