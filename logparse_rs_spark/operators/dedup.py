@@ -439,25 +439,61 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, window: int = 16,
     actual winnowing — is hash-agnostic)."""
     base = docs.select(F.col(id_col),
                        normalized_text(F.col(text_col)).alias("t_"))
-    grams = F.when(
-        F.length("t_") >= k,
-        F.expr(f"transform(sequence(1, length(t_) - {k - 1}), "
-               f"i -> substring(md5(substring(t_, i, {k})), 1, 8))"),
-    ).otherwise(F.array().cast("array<string>"))
-    g = base.select(F.col(id_col), grams.alias("grams"))
-    mins = F.when(
-        F.size("grams") >= window,
-        F.transform(
-            F.sequence(F.lit(1), F.size("grams") - (window - 1)),
-            lambda j: F.array_min(F.slice(F.col("grams"), j, window)),
-        ),
-    ).otherwise(F.col("grams"))
-    return g.select(
-        F.col(id_col),
-        F.array_distinct(mins).alias("fingerprints"),
-        F.size("grams").alias("n_grams"),
-        F.size(F.array_distinct(mins)).alias("n_fingerprints"),
-    )
+    # Selection kernel: the all-JVM form (transform over a sequence with
+    # array_min(slice(...)) per window) evaluates O(n_grams * window)
+    # interpreted higher-order calls per doc — CodegenFallback, measured
+    # ~3x the whole operator. The hash is unchanged (md5 of the char
+    # k-gram's UTF-8 bytes; the 8-hex-char prefix IS the digest's first
+    # 4 bytes, and fixed-width lowercase hex orders exactly like the
+    # uint32 it encodes), so the windowed min runs as one numpy
+    # sliding-window min per doc and only the selected fingerprints are
+    # ever hex-formatted. array_distinct order (first occurrence) is
+    # preserved via dict.fromkeys.
+    out_schema = T.StructType([
+        docs.schema[id_col],
+        T.StructField("fingerprints", T.ArrayType(T.StringType())),
+        T.StructField("n_grams", T.IntegerType()),
+        T.StructField("n_fingerprints", T.IntegerType()),
+    ])
+
+    def winnow(pdfs):
+        from hashlib import md5
+        swv = np.lib.stride_tricks.sliding_window_view
+        for pdf in pdfs:
+            ids, fps, ngs, nfs = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf["t_"]):
+                t = t or ""
+                enc = t.encode("utf-8")
+                one_byte = len(enc) == len(t)
+                n_g = max(len(t) - k + 1, 0)
+                if n_g == 0:
+                    sel = []
+                else:
+                    if one_byte:
+                        vals = np.frombuffer(
+                            b"".join(md5(enc[j:j + k]).digest()[:4]
+                                     for j in range(n_g)),
+                            dtype=">u4")
+                    else:
+                        vals = np.frombuffer(
+                            b"".join(
+                                md5(t[j:j + k].encode("utf-8")).digest()[:4]
+                                for j in range(n_g)),
+                            dtype=">u4")
+                    if n_g >= window:
+                        vals = swv(vals, window).min(axis=1)
+                    sel = [f"{v:08x}"
+                           for v in dict.fromkeys(vals.tolist())]
+                ids.append(i)
+                fps.append(sel)
+                ngs.append(n_g)
+                nfs.append(len(sel))
+            yield pd.DataFrame({id_col: ids, "fingerprints": fps,
+                                "n_grams": np.array(ngs, dtype=np.int32),
+                                "n_fingerprints": np.array(nfs,
+                                                           dtype=np.int32)})
+
+    return base.mapInPandas(winnow, schema=out_schema)
 
 
 def simhash_batch(texts: pd.Series, shingle_k: int = 4) -> np.ndarray:
@@ -1096,10 +1132,27 @@ def span_novelty(docs: DataFrame, n: int = 8, text_col: str = "text",
     id-keyed rollup. At production scale hash the span through xxhash64
     first so the shuffle carries 8-byte keys (identical answer absent a
     2^-64 collision)."""
-    _, per = _span_frames(docs, n, text_col, id_col, words_col)
-    per_d = per.select(id_col, "_span").distinct()
-    firsts = per_d.groupBy("_span").agg(F.min(id_col).alias("_first"))
-    return (per_d.join(firsts, "_span")
+    from .text import _words
+
+    words = (F.col(words_col) if words_col
+             else _words(F.col(text_col)))
+    spans = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # per-doc span dedup happens SCAN-SIDE (array_distinct before the
+    # explode, the duplicate_span_stats discipline) and the first-owner
+    # attribution is a min-over-window on the span key — the r5 plan
+    # paid a distinct exchange, a groupBy exchange and a big-to-big
+    # span-string join for the same numbers (guide §2.4: a window
+    # partitioned like the aggregation needs no second shuffle)
+    per_d = docs.select(F.col(id_col),
+                        F.explode(F.array_distinct(spans)).alias("_span"))
+    first = F.min(id_col).over(Window.partitionBy("_span"))
+    return (per_d.withColumn("_first", first)
             .groupBy(id_col)
             .agg(F.count("*").alias("n_spans"),
                  F.sum((F.col(id_col) == F.col("_first")).cast("bigint"))
@@ -1140,16 +1193,19 @@ def source_overlap(pairs: DataFrame, docs: DataFrame,
               .select(F.least("_sa", "_sb").alias("source_a"),
                       F.greatest("_sa", "_sb").alias("source_b"),
                       "id_a", "id_b"))
-    n_pairs = (tagged.groupBy("source_a", "source_b")
-               .agg(F.count("*").alias("n_pairs")))
-    members = (tagged.select("source_a", "source_b",
-                             F.col("id_a").alias("id"))
-               .unionByName(tagged.select("source_a", "source_b",
-                                          F.col("id_b").alias("id")))
-               .distinct()
-               .groupBy("source_a", "source_b")
-               .agg(F.count("*").alias("n_docs")))
-    return n_pairs.join(members, ["source_a", "source_b"])
+    # single aggregation pass: the r5 two-branch plan (count rollup JOINED
+    # back onto a distinct+count rollup) re-executed the whole pair
+    # pipeline once per branch. Explode each pair to its two member rows
+    # (pos 0 carries the pair marker) and fold n_pairs = sum(pos == 0) and
+    # n_docs = count_distinct(id) in ONE groupBy — identical values, one
+    # traversal, no final join.
+    ex = tagged.select(
+        "source_a", "source_b",
+        F.posexplode(F.array("id_a", "id_b")).alias("_pos", "id"))
+    return (ex.groupBy("source_a", "source_b")
+            .agg(F.sum((F.col("_pos") == 0).cast("bigint"))
+                 .alias("n_pairs"),
+                 F.count_distinct("id").alias("n_docs")))
 
 
 def ngram_overlap_pairs_fast(docs: DataFrame, pairs: DataFrame,

@@ -200,12 +200,18 @@ class TestFinalWavePlans:
         assert "Window" not in plan
         assert "max_by" in plan or "ObjectHashAggregate" in plan
 
-    def test_span_novelty_no_window_no_cartesian(self, spark, entrymod):
-        """novelty is two hash aggregations (span-keyed min, id-keyed
-        rollup) — no window, no cross join, spans built scan-side."""
+    def test_span_novelty_window_no_join_no_cartesian(self, spark,
+                                                      entrymod):
+        """novelty attributes first owners via min-over-window on the
+        span key (r6: replaces the distinct + groupBy + big-to-big span
+        join — one exchange instead of three-plus-join), then one
+        id-keyed rollup. No join anywhere, no cross join; spans dedupe
+        scan-side (array_distinct before the explode)."""
         plan = plan_of(entrymod.queries()["doc_span_novelty"](spark, SF))
-        assert "Window" not in plan
+        assert "Window" in plan
+        assert "Join" not in plan
         assert "CartesianProduct" not in plan
+        assert "array_distinct" in plan
 
     def test_source_overlap_prunes_corpus_to_id_source(self, spark,
                                                        entrymod):
