@@ -153,19 +153,28 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     n_ellipsis = F.floor(
         (F.length(text) - F.length(F.replace(text, F.lit("..."))))
         / F.lit(3)).cast("long")
-    keep = (n_words.between(min_words, max_words)
-            & (3 * n_words <= n_word_chars) & (n_word_chars <= 10 * n_words)
-            & (5 * n_alpha >= 4 * n_words)
-            & (n_hash * 10 <= n_words) & (n_ellipsis * 10 <= n_words)
-            & (n_stop >= 2))
-    return docs.select(
+    # layered projection (see gopher_repetition): the `keep` conjunction
+    # references every feature again, and flat-select higher-order exprs
+    # re-evaluate per reference
+    feats = docs.select(
         F.col(id_col),
         n_words.alias("n_words"),
         n_word_chars.alias("n_word_chars"),
         n_alpha.alias("n_alpha_words"),
         n_stop.alias("n_stopwords"),
         n_hash.alias("n_hash"),
-        n_ellipsis.alias("n_ellipsis"),
+        n_ellipsis.alias("n_ellipsis"))
+    nw = F.col("n_words")
+    keep = (nw.between(min_words, max_words)
+            & (3 * nw <= F.col("n_word_chars"))
+            & (F.col("n_word_chars") <= 10 * nw)
+            & (5 * F.col("n_alpha_words") >= 4 * nw)
+            & (F.col("n_hash") * 10 <= nw)
+            & (F.col("n_ellipsis") * 10 <= nw)
+            & (F.col("n_stopwords") >= 2))
+    return feats.select(
+        F.col(id_col), "n_words", "n_word_chars", "n_alpha_words",
+        "n_stopwords", "n_hash", "n_ellipsis",
         keep.cast("int").alias("keep"))
 
 
@@ -218,15 +227,26 @@ def gopher_repetition(docs: DataFrame, text_col: str = "text",
             F.when(better, nc).otherwise(acc["bc"]).alias("bc"))
 
     mode = F.aggregate(grams, acc0, step)
-    return docs.select(
+    # layered projection: flat-select output columns re-evaluate their
+    # whole subtree (the three `mode` references each re-ran the gram
+    # build + sort + fold; when()/higher-order exprs are CodegenFallback
+    # and get no CSE) — materialize the heavy intermediates once
+    feats = docs.select(
         F.col(id_col),
-        n_lines.alias("n_lines"),
-        n_dup_lines.alias("n_dup_lines"),
-        dup_line_chars.alias("dup_line_chars"),
-        F.size(grams).cast("long").alias("n_bigrams"),
-        mode["best"].alias("top_bigram"),
-        mode["bc"].alias("top_bigram_count"),
-        (mode["bc"] * F.length(mode["best"])).cast("long")
+        n_lines.alias("_nl"),
+        n_dup_lines.alias("_ndl"),
+        dup_line_chars.alias("_dlc"),
+        F.size(grams).cast("long").alias("_nb"),
+        mode.alias("_mode"))
+    return feats.select(
+        F.col(id_col),
+        F.col("_nl").alias("n_lines"),
+        F.col("_ndl").alias("n_dup_lines"),
+        F.col("_dlc").alias("dup_line_chars"),
+        F.col("_nb").alias("n_bigrams"),
+        F.col("_mode.best").alias("top_bigram"),
+        F.col("_mode.bc").alias("top_bigram_count"),
+        (F.col("_mode.bc") * F.length("_mode.best")).cast("long")
         .alias("top_bigram_chars"))
 
 

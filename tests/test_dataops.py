@@ -605,7 +605,9 @@ class TestDupClusters:
         comp_of = {n: min(m) for m in want.values() for n in m}
         assert dict(a) == comp_of
 
-    def test_nonconvergence_raises(self, spark):
+    def test_nonconvergence_raises(self, spark, monkeypatch):
+        # distributed-path property: disable the small-graph local gate
+        monkeypatch.setenv("LPS_CC_LOCAL_EDGES", "0")
         import pandas as pd
         from logparse_rs_spark.operators.graph import connected_components
         chain = [(i, i + 1) for i in range(12)]
@@ -613,6 +615,27 @@ class TestDupClusters:
             pd.DataFrame(chain, columns=["id_a", "id_b"]))
         with __import__("pytest").raises(RuntimeError, match="converge"):
             connected_components(df, max_iter=2)
+
+    def test_local_gate_matches_star(self, spark, monkeypatch):
+        # the size-gated driver-local component path must equal the
+        # distributed star contraction on random graphs (incl. self
+        # loops and isolated self-pair nodes)
+        import numpy as np
+        import pandas as pd
+        from logparse_rs_spark.operators.graph import connected_components
+        rng = np.random.RandomState(5)
+        for n_nodes, n_edges in [(30, 15), (50, 120), (9, 3)]:
+            edges = pd.DataFrame({
+                "id_a": rng.randint(0, n_nodes, n_edges),
+                "id_b": rng.randint(0, n_nodes, n_edges)})
+            df = spark.createDataFrame(edges)
+            monkeypatch.setenv("LPS_CC_LOCAL_EDGES", "0")
+            star = sorted(map(tuple, connected_components(
+                df, algorithm="star").collect()))
+            monkeypatch.setenv("LPS_CC_LOCAL_EDGES", "4000000")
+            local = sorted(map(tuple, connected_components(
+                df, algorithm="star").collect()))
+            assert star == local
 
     def test_star_equals_label_random(self, spark):
         # property: both algorithms must produce the identical component
@@ -633,13 +656,14 @@ class TestDupClusters:
                            .collect()))
             assert a == b, f"seed={seed}"
 
-    def test_star_closes_path_graph(self, spark):
+    def test_star_closes_path_graph(self, spark, monkeypatch):
         # the at-scale motivation: a diameter-40 path graph that label
         # propagation cannot close in 8 rounds contracts in O(log n)
-        # star rounds
+        # star rounds (distributed path — local gate off)
         import pandas as pd
         import pytest
         from logparse_rs_spark.operators.graph import connected_components
+        monkeypatch.setenv("LPS_CC_LOCAL_EDGES", "0")
         chain = [(i, i + 1) for i in range(40)]
         df = spark.createDataFrame(
             pd.DataFrame(chain, columns=["id_a", "id_b"]))
