@@ -1354,6 +1354,23 @@ class TestPagerankInteger:
                        pagerank_integer(df.repartition(17), 3).collect()))
         assert a == b
 
+    def test_local_gate_matches_distributed(self, spark, monkeypatch):
+        # bit-exact parity of the size-gated numpy path vs the
+        # distributed rounds, incl. duplicate edges and self-loops
+        import numpy as np
+        from logparse_rs_spark.operators.graph import pagerank_integer
+        rng = np.random.RandomState(9)
+        pairs = [(int(a), int(b))
+                 for a, b in zip(rng.randint(0, 25, 60),
+                                 rng.randint(0, 25, 60))]
+        pairs += [(3, 3), (1, 2), (1, 2)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        monkeypatch.setenv("LPS_CC_LOCAL_EDGES", "0")
+        dist = sorted(map(tuple, pagerank_integer(df, 3).collect()))
+        monkeypatch.setenv("LPS_CC_LOCAL_EDGES", "4000000")
+        local = sorted(map(tuple, pagerank_integer(df, 3).collect()))
+        assert dist == local
+
 
 class TestRankFusion:
     def test_exact_rrf_arithmetic(self, spark):
