@@ -699,21 +699,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the attrition report of a full curation run: raw -> token band
         # -> Gopher rules -> exact-dedup canonical -> deterministic 25%
         # content sample, one integer row per stage
-        from logparse_rs_spark.operators.curate import (attrition_funnel,
-                                                        gopher_quality)
-        from logparse_rs_spark.operators.dedup import exact_dedup
-        from logparse_rs_spark.operators.text import (_words,
-                                                      fingerprint_sample)
+        from pyspark.sql import Window
+
+        from logparse_rs_spark.functions import fnv1a_col
+        from logparse_rs_spark.operators.curate import gopher_quality
+        from logparse_rs_spark.operators.dedup import normalized_text
+        from logparse_rs_spark.operators.text import _words
+        # one-pass funnel: every stage predicate is a per-row column
+        # (token band, gopher keep, fp sample) or a min-over-window on
+        # the exact-dedup key, so all five (n_docs, total_chars) pairs
+        # fold in ONE aggregation over one scan — the stage-frame form
+        # re-ran the shared lineage once per stage count (the scheduler
+        # gets no reuse across separate actionsless agg branches).
+        # Values identical: attrition_funnel output shape reproduced
+        # exactly (stage, stage_name, n_docs, total_chars).
         d = _docs(spark, sf_dir)
-        s1 = d.filter(F.size(_words(F.col("text"))).between(20, 200))
-        gk = gopher_quality(s1).filter(F.col("keep") == 1).select("doc_id")
-        s2 = s1.join(gk, "doc_id", "left_semi")
-        dk = exact_dedup(s2).select("doc_id")
-        s3 = s2.join(dk, "doc_id", "left_semi")
-        s4 = fingerprint_sample(s3, modulus=4, keep=0, exact_fnv=True)
-        return attrition_funnel([
-            ("raw", d), ("token_band", s1), ("gopher", s2),
-            ("exact_dedup", s3), ("fp_sample", s4)])
+        norm = normalized_text(F.col("text"))
+        base = d.select(
+            "doc_id", "text",
+            F.size(_words(F.col("text"))).alias("_nw"),
+            F.xxhash64(norm).alias("_tk"),
+            F.pmod(fnv1a_col(norm), F.lit(4)).alias("_fp"))
+        gq = gopher_quality(base, keep_cols=("text", "_nw", "_tk", "_fp"))
+        p1 = F.col("_nw").between(20, 200)
+        p2 = p1 & (F.col("keep") == 1)
+        flags = gq.withColumn(
+            "_cmin", F.min(F.when(p2, F.col("doc_id")))
+            .over(Window.partitionBy("_tk")))
+        p3 = p2 & (F.col("doc_id") == F.col("_cmin"))
+        p4 = p3 & (F.col("_fp") == 0)
+        ln = F.length("text")
+        stages = [("raw", F.lit(True)), ("token_band", p1),
+                  ("gopher", p2), ("exact_dedup", p3), ("fp_sample", p4)]
+        aggs = []
+        for i, (name, p) in enumerate(stages):
+            aggs.append(F.sum(p.cast("long")).alias(f"_n{i}"))
+            aggs.append(F.coalesce(F.sum(F.when(p, ln)), F.lit(0))
+                        .cast("long").alias(f"_c{i}"))
+        row = flags.agg(*aggs)
+        out = row.select(F.explode(F.array(*[
+            F.struct(F.lit(i).cast("long").alias("stage"),
+                     F.lit(name).alias("stage_name"),
+                     F.col(f"_n{i}").alias("n_docs"),
+                     F.col(f"_c{i}").alias("total_chars"))
+            for i, (name, _) in enumerate(stages)])).alias("_s"))
+        return out.select("_s.stage", "_s.stage_name", "_s.n_docs",
+                          "_s.total_chars")
 
     def events_spike_windows(spark, sf_dir):
         # integer-exact spike detection: 15-min windows whose count beats

@@ -125,7 +125,8 @@ def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
 
 def gopher_quality(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
-                   min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+                   min_words: int = 50, max_words: int = 100_000,
+                   keep_cols: tuple = ()) -> DataFrame:
     """Gopher-style (Rae et al. 2021, appendix A1.1) document quality rules,
     re-expressed in EXACT INTEGER arithmetic so the keep decision is
     bit-reproducible across engines (no float ratios on the output
@@ -158,6 +159,7 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     # re-evaluate per reference
     feats = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_words.alias("n_words"),
         n_word_chars.alias("n_word_chars"),
         n_alpha.alias("n_alpha_words"),
@@ -173,7 +175,9 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
             & (F.col("n_ellipsis") * 10 <= nw)
             & (F.col("n_stopwords") >= 2))
     return feats.select(
-        F.col(id_col), "n_words", "n_word_chars", "n_alpha_words",
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        "n_words", "n_word_chars", "n_alpha_words",
         "n_stopwords", "n_hash", "n_ellipsis",
         keep.cast("int").alias("keep"))
 
