@@ -948,6 +948,15 @@ def remove_duplicate_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
     by the document's own length. Untouched docs never leave the scan —
     they join the edited set by id with a coalesce."""
     base, per = _span_frames(docs, n, text_col, id_col, words_col)
+    if min_docs == 2:
+        # ">= 2 distinct owner docs" is exactly min(id) != max(id) over
+        # the span window — one exchange marks the banned occurrences
+        # in place of the r5 distinct + groupBy + semi-join chain
+        w = Window.partitionBy("_span")
+        hits = (per.withColumn("_mn", F.min(id_col).over(w))
+                .withColumn("_mx", F.max(id_col).over(w))
+                .filter(F.col("_mn") != F.col("_mx")))
+        return _scrub_from_hits(base, hits, n, text_col, id_col)
     # span -> distinct-doc frequency (vocab-sized after the map-side
     # partials); shared = spans carried by >= min_docs docs
     shared = (per.select(id_col, "_span").distinct()
@@ -983,33 +992,38 @@ def _scrub_spans(base: DataFrame, per: DataFrame, banned: DataFrame,
                  n: int, text_col: str, id_col: str) -> DataFrame:
     """Drop every word covered by a banned span; rebuild only touched
     docs (see remove_duplicate_spans for the scale notes)."""
-    covered = (per.join(banned, "_span", "left_semi")
-               .select(id_col,
-                       F.explode(F.sequence(
-                           F.col("_start"),
-                           F.col("_start") + F.lit(n - 1))).alias("_idx"))
-               .distinct())
-    toks = base.select(id_col,
-                       F.posexplode("_ws").alias("_idx", "_w"))
-    rebuilt = (toks.join(covered, [id_col, "_idx"], "left_anti")
-               .groupBy(id_col)
-               .agg(F.concat_ws(
-                   " ",
-                   F.transform(
-                       F.array_sort(F.collect_list(
-                           F.struct(F.col("_idx"), F.col("_w")))),
-                       lambda s: s["_w"])).alias("_new_text"),
-                    F.count("*").alias("_kept")))
-    touched = (covered.groupBy(id_col)
-               .agg(F.count("*").alias("_removed")))
-    out = (base.join(touched, id_col, "left")
-           .join(rebuilt, id_col, "left")
+    # r6 shape: the shuffle carries only (id, banned-span START) — the
+    # covered word-index set expands JVM-side AFTER the per-doc rollup
+    # (flatten of per-start sequences), and touched docs rebuild from
+    # their own word array by index arithmetic. The previous plan
+    # exploded every covered index through a distinct, posexploded every
+    # token of every doc, anti-joined, and re-sorted a collect_list per
+    # doc — four extra exchanges and a corpus-sized token explode for
+    # the same rows.
+    return _scrub_from_hits(base, per.join(banned, "_span", "left_semi"),
+                            n, text_col, id_col)
+
+
+def _scrub_from_hits(base: DataFrame, hits: DataFrame, n: int,
+                     text_col: str, id_col: str) -> DataFrame:
+    """Rebuild docs from their banned-span HIT rows (id, _start, ...)."""
+    starts = (hits.groupBy(id_col)
+              .agg(F.collect_set("_start").alias("_starts")))
+    cov = F.array_sort(F.array_distinct(F.flatten(F.transform(
+        F.col("_starts"),
+        lambda s: F.sequence(s, s + F.lit(n - 1))))))
+    keep_idx = F.array_except(
+        F.sequence(F.lit(0), F.size("_ws") - 1), F.col("_cov"))
+    rebuilt = F.concat_ws(" ", F.transform(
+        keep_idx, lambda i: F.element_at(F.col("_ws"), i + 1)))
+    out = (base.join(starts, id_col, "left")
+           .withColumn("_cov", F.when(F.col("_starts").isNotNull(), cov))
            .select(
                F.col(id_col),
-               F.when(F.col("_removed").isNull(), F.col(text_col))
-               .otherwise(F.coalesce(F.col("_new_text"), F.lit("")))
-               .alias(text_col),
-               F.coalesce(F.col("_removed"), F.lit(0)).cast("bigint")
+               F.when(F.col("_cov").isNull(), F.col(text_col))
+               .otherwise(rebuilt).alias(text_col),
+               F.when(F.col("_cov").isNull(), F.lit(0))
+               .otherwise(F.size("_cov")).cast("bigint")
                .alias("n_removed")))
     return out
 
