@@ -841,16 +841,20 @@ def duplicate_span_stats(docs: DataFrame, n: int = 8,
     wire."""
     from .text import _words
 
-    words = (F.col(words_col) if words_col
-             else _words(F.col(text_col)))
+    # materialize words first: an inline split() inside the transform
+    # lambda re-tokenizes once PER SPAN on the interpreted path
+    base = docs.select(F.col(id_col),
+                       (F.col(words_col) if words_col
+                        else _words(F.col(text_col))).alias("_ws"))
+    ws = F.col("_ws")
     spans = F.when(
-        F.size(words) >= n,
+        F.size(ws) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    per = docs.select(F.col(id_col),
+    per = base.select(F.col(id_col),
                       F.explode(F.array_distinct(spans)).alias("span"))
     n_docs = F.count("*").over(Window.partitionBy("span"))
     return (per.withColumn("_nd", n_docs)
@@ -1148,13 +1152,15 @@ def span_novelty(docs: DataFrame, n: int = 8, text_col: str = "text",
     2^-64 collision)."""
     from .text import _words
 
-    words = (F.col(words_col) if words_col
-             else _words(F.col(text_col)))
+    wbase = docs.select(F.col(id_col),
+                        (F.col(words_col) if words_col
+                         else _words(F.col(text_col))).alias("_ws"))
+    ws = F.col("_ws")
     spans = F.when(
-        F.size(words) >= n,
+        F.size(ws) >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     # per-doc span dedup happens SCAN-SIDE (array_distinct before the
@@ -1163,8 +1169,8 @@ def span_novelty(docs: DataFrame, n: int = 8, text_col: str = "text",
     # paid a distinct exchange, a groupBy exchange and a big-to-big
     # span-string join for the same numbers (guide §2.4: a window
     # partitioned like the aggregation needs no second shuffle)
-    per_d = docs.select(F.col(id_col),
-                        F.explode(F.array_distinct(spans)).alias("_span"))
+    per_d = wbase.select(F.col(id_col),
+                         F.explode(F.array_distinct(spans)).alias("_span"))
     first = F.min(id_col).over(Window.partitionBy("_span"))
     return (per_d.withColumn("_first", first)
             .groupBy(id_col)

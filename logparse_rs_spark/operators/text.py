@@ -349,7 +349,11 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 64,
     ~len/stride exactly like the shingle operators. The last window is
     emitted iff it starts within the text (start < n_words), so short
     docs yield exactly one chunk and empty docs yield none."""
-    words = _words(F.col(text_col))
+    # materialize the word array first: inline split() referenced inside
+    # the transform/filter lambdas re-tokenizes per element on the
+    # interpreted higher-order path
+    base = docs.select(F.col(id_col), _words(F.col(text_col)).alias("_ws"))
+    words = F.col("_ws")
     n = F.size(words)
     # chunk start offsets 1, 1+stride, ... — keep a start only while the
     # PREVIOUS window did not already reach the end of the doc (the
@@ -367,7 +371,7 @@ def chunk_documents(docs: DataFrame, chunk_words: int = 64,
             F.slice(words, i, chunk_words).alias("ws"),
         ),
     )
-    ex = docs.select(F.col(id_col), F.explode(chunks).alias("c"))
+    ex = base.select(F.col(id_col), F.explode(chunks).alias("c"))
     ws = F.col("c.ws")
     txt = F.concat_ws(" ", ws)
     return ex.select(
@@ -383,13 +387,19 @@ def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str,
                  words_col: str | None = None) -> DataFrame:
     """(id, bigram) pairs — the shared scan of both lm_score passes.
     ``words_col``: optional pre-tokenized array column to reuse."""
-    words = F.col(words_col) if words_col else _words(F.col(text_col))
+    # words materialized as a column first: an inline split() inside the
+    # transform lambda re-tokenizes once per bigram (interpreted
+    # higher-order path); an attribute reference is a per-row lookup
+    base = docs.select(F.col(id_col),
+                       (F.col(words_col) if words_col
+                        else _words(F.col(text_col))).alias("_ws"))
+    ws = F.col("_ws")
     bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(F.sequence(F.lit(1), F.size(words) - 1),
-                    lambda i: F.concat_ws(" ", F.slice(words, i, 2))),
+        F.size(ws) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i, 2))),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    return base.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
 
 
 def lm_bigram_model(docs: DataFrame, text_col: str = "text",
@@ -638,15 +648,21 @@ def contamination_check(docs: DataFrame, eval_docs: DataFrame, n: int = 5,
     the corpus. The train side dedups shingles per doc BEFORE the join so
     a doc repeating one leaked phrase k times produces one row, not k."""
     def shingle_hashes(df, out_id):
-        words = _words(F.col(text_col))
+        # materialize the word array BEFORE the transform: an inline
+        # split() referenced inside the lambda is re-evaluated per
+        # element by the interpreted higher-order path (one re-tokenize
+        # per shingle — measured ~5x the whole operator)
+        base = df.select(F.col(id_col).alias(out_id),
+                         _words(F.col(text_col)).alias("_ws"))
+        ws = F.col("_ws")
         shingles = F.when(
-            F.size(words) >= n,
-            F.transform(F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            F.size(ws) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)),
                         lambda i: F.xxhash64(F.concat_ws(
-                            " ", F.slice(words, i, n)))),
+                            " ", F.slice(ws, i, n)))),
         ).otherwise(F.array().cast("array<bigint>"))
-        return (df.select(F.col(id_col).alias(out_id),
-                          F.explode(F.array_distinct(shingles)).alias("gh")))
+        return base.select(out_id,
+                           F.explode(F.array_distinct(shingles)).alias("gh"))
 
     train = shingle_hashes(docs, "doc_id")
     evals = shingle_hashes(eval_docs, "eval_id")
@@ -767,7 +783,11 @@ def collocations(docs: DataFrame, k: int = 20, min_count: int = 5,
     Returns (w1, w2, n_xy, n_x, n_y, score_ppb), k rows.
     ``words_col``: optional pre-tokenized array column to reuse.
     """
-    words = F.col(words_col) if words_col else _words(F.col(text_col))
+    # words materialized first (see _doc_bigrams: inline split in the
+    # lambda re-tokenizes per pair on the interpreted path)
+    wbase = docs.select((F.col(words_col) if words_col
+                         else _words(F.col(text_col))).alias("_ws"))
+    words = F.col("_ws")
     pairs = F.when(
         F.size(words) >= 2,
         F.transform(
@@ -776,11 +796,11 @@ def collocations(docs: DataFrame, k: int = 20, min_count: int = 5,
                                F.element_at(words, i + 1).alias("w2")),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bi = (docs.select(F.explode(pairs).alias("p"))
+    bi = (wbase.select(F.explode(pairs).alias("p"))
           .select("p.w1", "p.w2")
           .groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
           .filter(F.col("n_xy") >= min_count))
-    uni = (docs.select(F.explode(words).alias("token"))
+    uni = (wbase.select(F.explode(words).alias("token"))
            .groupBy("token").agg(F.count("*").alias("n")))
     return (bi
             .join(uni.select(F.col("token").alias("w1"),
@@ -881,7 +901,12 @@ def _posting_ids(docs: DataFrame, min_df: int, max_df: int, min_len: int,
     ``words_col`` names a PRE-TOKENIZED array column to reuse (the
     tokenize-once-share-everywhere pattern for a session running several
     retrieval queries); when absent, tokenization happens scan-side."""
-    words = F.col(words_col) if words_col else _words(F.col(text_col))
+    # words materialized first (see _doc_bigrams: inline split in the
+    # lambda re-tokenizes per n-gram on the interpreted path)
+    docs = docs.select(
+        "*", (F.col(words_col) if words_col
+              else _words(F.col(text_col))).alias("_pws"))
+    words = F.col("_pws")
     if ngram > 1:
         terms = F.when(
             F.size(words) >= ngram,
