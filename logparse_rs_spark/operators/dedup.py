@@ -94,6 +94,7 @@ def _pair_common(ea, eb) -> int:
     return int(np.intersect1d(ea[0], eb[0], assume_unique=True).size)
 
 
+_TEXT_BCAST_CACHE: dict = {}
 _PAIR_VEC_STATE: dict = {}
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
 
@@ -169,20 +170,39 @@ def _bcast_norm_texts(docs: DataFrame, text_col: str, id_col: str):
     the total; oversized corpora return None and keep the join plan."""
     import os
 
+    import hashlib
+    import os
+
     budget = int(os.environ.get("LPS_PAIRVERIFY_BCAST_MB", "64")) << 20
     norm = docs.select(F.col(id_col).cast("long").alias("_id"),
                        normalized_text(F.col(text_col)).alias("_nt"))
+    # one broadcast per distinct input PLAN per session (canonicalized —
+    # expression ids normalized): re-broadcasting the same corpus per
+    # call would also rebuild every worker's gram state, because that
+    # state is keyed by the broadcast value's identity
+    spark = docs.sparkSession
+    key = (spark.sparkContext.applicationId,
+           hashlib.md5(norm._jdf.queryExecution().analyzed()
+                       .canonicalized().toString().encode()).hexdigest())
+    if key in _TEXT_BCAST_CACHE:
+        return _TEXT_BCAST_CACHE[key]
     sample = norm.select(F.length("_nt").alias("L")).limit(1000).collect()
     if not sample:
-        return {}
+        bc = spark.sparkContext.broadcast({})
+        _TEXT_BCAST_CACHE[key] = bc
+        return bc
     avg = sum((r[0] or 0) for r in sample) / len(sample)
     n_rows = docs.select(id_col).count()
     if n_rows * (avg + 120) > budget:
+        _TEXT_BCAST_CACHE[key] = None
         return None
     rows = norm.collect()
     if sum(len(r[1] or "") for r in rows) + 120 * len(rows) > budget:
+        _TEXT_BCAST_CACHE[key] = None
         return None
-    return {r[0]: r[1] for r in rows}
+    bc = spark.sparkContext.broadcast({r[0]: r[1] for r in rows})
+    _TEXT_BCAST_CACHE[key] = bc
+    return bc
 
 
 def _pairs_with_known_ids(pairs: DataFrame, docs: DataFrame,
@@ -659,9 +679,8 @@ def ngram_jaccard_pairs_fast(docs: DataFrame, pairs: DataFrame,
             out.append(float(inter) / union if union else None)
         return out
 
-    texts = _bcast_norm_texts(docs, text_col, id_col)
-    if texts is not None:
-        bc = docs.sparkSession.sparkContext.broadcast(texts)
+    bc = _bcast_norm_texts(docs, text_col, id_col)
+    if bc is not None:
 
         @F.pandas_udf(T.DoubleType())
         def _jac_bc(ia: pd.Series, ib: pd.Series) -> pd.Series:
@@ -1255,9 +1274,8 @@ def ngram_overlap_pairs_fast(docs: DataFrame, pairs: DataFrame,
             rows.append((_pair_common(ea, eb), ea[1], eb[1]))
         return rows
 
-    texts = _bcast_norm_texts(docs, text_col, id_col)
-    if texts is not None:
-        bc = docs.sparkSession.sparkContext.broadcast(texts)
+    bc = _bcast_norm_texts(docs, text_col, id_col)
+    if bc is not None:
 
         @F.pandas_udf("n_common long, n_a long, n_b long")
         def _ov_bc(ia: pd.Series, ib: pd.Series) -> pd.DataFrame:
