@@ -179,29 +179,39 @@ def _bcast_norm_texts(docs: DataFrame, text_col: str, id_col: str):
     # one broadcast per distinct input PLAN per session (canonicalized —
     # expression ids normalized): re-broadcasting the same corpus per
     # call would also rebuild every worker's gram state, because that
-    # state is keyed by the broadcast value's identity
+    # state is keyed by the broadcast value's identity. ONLY file-backed
+    # plans are cacheable: a LocalRelation/LogicalRDD/Range leaf prints
+    # without its data, so two different in-memory corpora with the same
+    # schema would collide on the key (caught by a pytest corpus swap).
     spark = docs.sparkSession
+    plan_str = (norm._jdf.queryExecution().analyzed()
+                .canonicalized().toString())
+    cacheable = not any(m in plan_str for m in
+                        ("LocalRelation", "LogicalRDD", "Range "))
     key = (spark.sparkContext.applicationId,
-           hashlib.md5(norm._jdf.queryExecution().analyzed()
-                       .canonicalized().toString().encode()).hexdigest())
-    if key in _TEXT_BCAST_CACHE:
+           hashlib.md5(plan_str.encode()).hexdigest())
+    if cacheable and key in _TEXT_BCAST_CACHE:
         return _TEXT_BCAST_CACHE[key]
     sample = norm.select(F.length("_nt").alias("L")).limit(1000).collect()
     if not sample:
         bc = spark.sparkContext.broadcast({})
-        _TEXT_BCAST_CACHE[key] = bc
+        if cacheable:
+            _TEXT_BCAST_CACHE[key] = bc
         return bc
     avg = sum((r[0] or 0) for r in sample) / len(sample)
     n_rows = docs.select(id_col).count()
     if n_rows * (avg + 120) > budget:
-        _TEXT_BCAST_CACHE[key] = None
+        if cacheable:
+            _TEXT_BCAST_CACHE[key] = None
         return None
     rows = norm.collect()
     if sum(len(r[1] or "") for r in rows) + 120 * len(rows) > budget:
-        _TEXT_BCAST_CACHE[key] = None
+        if cacheable:
+            _TEXT_BCAST_CACHE[key] = None
         return None
     bc = spark.sparkContext.broadcast({r[0]: r[1] for r in rows})
-    _TEXT_BCAST_CACHE[key] = bc
+    if cacheable:
+        _TEXT_BCAST_CACHE[key] = bc
     return bc
 
 
