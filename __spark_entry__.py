@@ -1729,9 +1729,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def events_props_stats(spark, sf_dir):
         # schema-on-read over the JSON props blob: JVM-side JSON-path
-        # extraction in codegen, per-type numeric profile.
+        # extraction in codegen, per-type numeric profile. The events
+        # table is single-row-group parquet (one-task scan), and the
+        # JSON parse is the per-row cost — restore scan parallelism
+        # before it (guide §2.5 input skew; safe here: every aggregate
+        # is integer/min/max/distinct, no float re-association)
         from logparse_rs_spark.operators.behavior import props_field_stats
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev = _par_parquet(spark, f"{sf_dir}/events.parquet")
         return props_field_stats(ev, field="k")
 
     def events_user_paths(spark, sf_dir):
