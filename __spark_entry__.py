@@ -520,9 +520,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_jaccard(docs, pairs, n=3) \
             .withColumn("jaccard", F.round("jaccard", 6))
 
-    def doc_minhash_pairs(spark, sf_dir):
+    _pairs_cache: dict = {}
+
+    def _doc_pairs(spark, sf_dir):
+        # LSH-band-pairs-once: the distinct cross-band candidate pair set
+        # over the corpus signatures, persisted and session-shared by its
+        # four consumers (the pair listing itself, the source rollup, the
+        # containment verify, the component contraction) — each
+        # previously re-ran the banding self-join + 12.6M-pair dedup.
+        # Same in-session discipline as _doc_sigs/_canon_sigs.
         from logparse_rs_spark.operators.dedup import minhash_lsh_pairs
-        return minhash_lsh_pairs(_doc_sigs(spark, sf_dir), bands=16)
+        key = (spark.sparkContext.applicationId,
+               f"{sf_dir}/documents.parquet")
+        pairs = _pairs_cache.get(key)
+        if pairs is None:
+            pairs = minhash_lsh_pairs(_doc_sigs(spark, sf_dir),
+                                      bands=16).persist()
+            _pairs_cache[key] = pairs
+        return pairs
+
+    def doc_minhash_pairs(spark, sf_dir):
+        return _doc_pairs(spark, sf_dir)
 
     def doc_simhash_candidates(spark, sf_dir):
         # max_bucket=1000 is the demonstrated (scale-safe) form: a chunk
@@ -573,15 +591,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum("bpe_token_est").alias("total_tokens"),
                      F.round(F.avg("alpha_ratio"), 6).alias("avg_alpha")))
 
+    _canon_pairs_cache: dict = {}
+
+    def _canon_pairs(spark, sf_dir):
+        # the capped canonical-doc candidate pair set, persisted and
+        # shared by doc_near_dup_dedup + doc_text_neardup_verified (the
+        # pair frame is each's common prefix; same in-session discipline
+        # as _doc_pairs/_doc_sigs)
+        from logparse_rs_spark.operators.dedup import minhash_near_dup
+        key = (spark.sparkContext.applicationId,
+               f"{sf_dir}/documents.parquet")
+        pairs = _canon_pairs_cache.get(key)
+        if pairs is None:
+            pairs = minhash_near_dup(
+                _docs(spark, sf_dir), max_bucket=1000,
+                canon_sigs=_canon_sigs(spark, sf_dir)).persist()
+            _canon_pairs_cache[key] = pairs
+        return pairs
+
     def doc_near_dup_dedup(spark, sf_dir):
         # composed duplicate-heavy-safe plan: exact-dedup -> minhash over
         # canonical docs -> capped LSH band join. The testdata has no exact
         # dups, so the oracle is the plain banding over refimpl signatures —
         # proving the composition is a pure optimization, not a semantic
         # change, on dup-free input (the dup-heavy behavior is pytest-pinned)
-        from logparse_rs_spark.operators.dedup import minhash_near_dup
-        return minhash_near_dup(_docs(spark, sf_dir), max_bucket=1000,
-                                canon_sigs=_canon_sigs(spark, sf_dir))
+        return _canon_pairs(spark, sf_dir)
 
     def doc_text_neardup_verified(spark, sf_dir):
         # the canonical two-stage TEXT near-dup: capped minhash-LSH band
@@ -592,10 +626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the r2 form joined full gram ARRAYS per pair and cost 30.5 s of
         # the 57 s query suite at sf0.1
         from logparse_rs_spark.operators.dedup import (
-            minhash_near_dup, ngram_jaccard_pairs_fast)
+            ngram_jaccard_pairs_fast)
         docs = _docs(spark, sf_dir)
-        pairs = minhash_near_dup(docs, max_bucket=1000,
-                                 canon_sigs=_canon_sigs(spark, sf_dir))
+        pairs = _canon_pairs(spark, sf_dir)
         return (ngram_jaccard_pairs_fast(docs, pairs, n=3)
                 .filter(F.col("jaccard") >= 0.5)
                 .withColumn("jaccard", F.round("jaccard", 6)))
@@ -950,7 +983,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the propagation result is a checkpointed frame — compute once
         # per (session, sf) and share between the cluster-derived queries
         # (same pattern as the _parsed cache for the 11 log queries)
-        from logparse_rs_spark.operators.dedup import minhash_lsh_pairs
         from logparse_rs_spark.operators.graph import connected_components
         # key on the concrete data path (like _PARSED_CACHE/_dim_cache) —
         # a tag-based key would alias two different corpora
@@ -961,8 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # star contraction (O(log n) rounds on any graph shape) is the
             # at-scale path; the driver oracle therefore exercises it
             comp = connected_components(
-                minhash_lsh_pairs(_doc_sigs(spark, sf_dir), bands=16),
-                algorithm="star")
+                _doc_pairs(spark, sf_dir), algorithm="star")
             _comp_cache[key] = comp
         return comp
 
@@ -1006,11 +1037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_source_overlap(spark, sf_dir):
         # syndication detection: near-dup pairs rolled up to the source
         # level (canonically ordered pair), duplicate-mass per feed pair
-        from logparse_rs_spark.operators.dedup import (minhash_lsh_pairs,
-                                                       source_overlap)
-        return source_overlap(
-            minhash_lsh_pairs(_doc_sigs(spark, sf_dir), bands=16),
-            _docs(spark, sf_dir))
+        from logparse_rs_spark.operators.dedup import source_overlap
+        return source_overlap(_doc_pairs(spark, sf_dir),
+                              _docs(spark, sf_dir))
 
     def doc_softdedup_weights(spark, sf_dir):
         # soft dedup: DOWN-WEIGHT cluster members (1/k in ppm) instead of
@@ -1882,10 +1911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # symmetric Jaccard under-scores. Candidates from the session-
         # shared minhash signatures; exact integer-ppm scores from the
         # memoized gram-set kernel (no gram arrays in any shuffle).
-        from logparse_rs_spark.operators.dedup import (containment_pairs,
-                                                       minhash_lsh_pairs)
-        pairs = minhash_lsh_pairs(_doc_sigs(spark, sf_dir), bands=16)
-        return containment_pairs(_docs(spark, sf_dir), pairs, n=3,
+        from logparse_rs_spark.operators.dedup import containment_pairs
+        return containment_pairs(_docs(spark, sf_dir),
+                                 _doc_pairs(spark, sf_dir), n=3,
                                  min_ppm=800_000)
 
     def log_host_profile(spark, sf_dir):
