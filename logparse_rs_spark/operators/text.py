@@ -404,7 +404,8 @@ def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str,
 
 def lm_bigram_model(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
-                    words_col: str | None = None) -> tuple:
+                    words_col: str | None = None,
+                    doc_bg: DataFrame | None = None) -> tuple:
     """PASS 1 of the at-scale lm_score deployment: build the corpus bigram
     count model as two vocab-sized DataFrames plus the vocabulary size —
     (bigram_counts(bigram, bg_n), first_word_counts(w1, un_n), vocab).
@@ -412,7 +413,8 @@ def lm_bigram_model(docs: DataFrame, text_col: str = "text",
     corpus-sized shuffles except the (doc, bigram) pairs once), meant to be
     persisted (e.g. parquet) and broadcast at apply time, so the scoring
     pass over a 10^12-doc corpus never rebuilds or shuffles the model."""
-    doc_bg = _doc_bigrams(docs, text_col, id_col, words_col)
+    if doc_bg is None:
+        doc_bg = _doc_bigrams(docs, text_col, id_col, words_col)
     bg_counts = doc_bg.groupBy("bigram").agg(F.count("*").alias("bg_n"))
     un_counts = (doc_bg
                  .select(F.split(F.col("bigram"), " ").getItem(0).alias("w1"))
@@ -428,7 +430,8 @@ def lm_bigram_model(docs: DataFrame, text_col: str = "text",
 
 def lm_score(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id", model: tuple | None = None,
-             words_col: str | None = None) -> DataFrame:
+             words_col: str | None = None,
+             doc_bg: DataFrame | None = None) -> DataFrame:
     """Statistical language-model quality score (the perplexity-filter
     step of C4/CCNet-style curation, with EXACT corpus counts instead of
     an external KenLM): score(doc) = mean over its bigrams of
@@ -452,7 +455,8 @@ def lm_score(docs: DataFrame, text_col: str = "text",
       with un_n(w1) = 0 for a first word the model never saw."""
     from pyspark.sql import Window
 
-    doc_bg = _doc_bigrams(docs, text_col, id_col, words_col)
+    if doc_bg is None:
+        doc_bg = _doc_bigrams(docs, text_col, id_col, words_col)
     w1 = F.split(F.col("bigram"), " ").getItem(0)
     if model is None:
         bg_n = F.count("*").over(Window.partitionBy("bigram"))
