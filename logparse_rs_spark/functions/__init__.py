@@ -93,7 +93,21 @@ def fnv1a_col(col, salt_bytes: bytes = b"") -> F.Column:
 
     @F.pandas_udf(T.LongType())
     def _fnv(s: pd.Series) -> pd.Series:
-        out = pd.Series(fnv1a_series(s, seed=seed).view("int64"), index=s.index)
+        import numpy as np
+
+        # duplicate-heavy batches (e.g. tokens drawn from a small
+        # vocabulary): hash each DISTINCT value once and scatter — same
+        # hashes, same null handling as the direct path
+        if len(s) >= 1024:
+            codes, uniq = s.factorize(use_na_sentinel=True)
+            if 0 < len(uniq) and len(uniq) * 4 <= len(s):
+                hu = fnv1a_series(pd.Series(uniq),
+                                  seed=seed).view("int64")
+                out = pd.Series(hu[np.maximum(codes, 0)], index=s.index)
+                out[codes < 0] = None
+                return out
+        out = pd.Series(fnv1a_series(s, seed=seed).view("int64"),
+                        index=s.index)
         out[s.isna()] = None
         return out
 
