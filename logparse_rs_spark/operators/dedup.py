@@ -556,6 +556,116 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return docs.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
 
 
+def _simhash_candidates_broadcast(sim: DataFrame, id_col: str,
+                                  chunks: int, max_bucket):
+    """Broadcast fast path for simhash_candidates (same gate discipline
+    as the neardup/verify kernels, env LPS_NEARDUP_BCAST_MB): when the
+    (id, simhash) table fits the budget, each chunk becomes one numpy
+    task over the broadcast arrays — bucket slicing, the max_bucket cap,
+    pair enumeration and the XOR popcount all happen in-task, and only
+    candidate pairs leave. The chunk self-join shuffles nothing. None
+    above the gate; identical pairs + hamming, same final dedup."""
+    import os
+
+    budget = int(os.environ.get("LPS_NEARDUP_BCAST_MB", "64")) << 20
+    max_rows = max(1, budget // 16)
+    if sim.schema[id_col].dataType.typeName() not in (
+            "long", "integer", "short", "byte"):
+        return None
+    head = sim.select(F.col(id_col).cast("long"),
+                      "simhash").limit(max_rows + 1).collect()
+    if len(head) > max_rows:
+        return None
+    spark = sim.sparkSession
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("hamming", T.IntegerType()),
+    ])
+    if not head:
+        return _distinct_pairs(spark.createDataFrame([], out_schema))
+    width = 64 // chunks
+    mask = np.uint64((1 << width) - 1)
+    ids = np.array([r[0] for r in head], dtype=np.int64)
+    sh = np.array([r[1] for r in head], dtype=np.int64).view(np.uint64)
+    # exact cost gate, computed from the already-collected hashes: at
+    # high candidate volume the Python->Arrow pair emission loses to the
+    # JVM chunk join, so route big outputs back to the join plan
+    max_pairs = int(os.environ.get("LPS_SIMHASH_BCAST_MAX_PAIRS",
+                                   str(2_000_000)))
+    est = 0
+    for chunk in range(chunks):
+        vals = np.sort((sh >> np.uint64(chunk * width)) & mask)
+        seg = np.flatnonzero(np.r_[True, vals[1:] != vals[:-1]])
+        sizes = np.diff(np.r_[seg, len(vals)])
+        if max_bucket is not None:
+            sizes = sizes[sizes <= max_bucket]
+        est += int((sizes * (sizes - 1) // 2).sum())
+    if est > max_pairs:
+        # high candidate volume: Python-side pair emission loses to the
+        # JVM chunk join — run the join over the ALREADY-COLLECTED
+        # hashes (one UDF pass total; the self-join aliases of the lazy
+        # signature frame re-ran the simhash UDF once per side)
+        local = spark.createDataFrame(
+            pd.DataFrame({id_col: ids, "simhash": sh.view(np.int64)})) \
+            .repartition(spark.sparkContext.defaultParallelism)
+        return _simhash_chunk_join(local, id_col, chunks, max_bucket)
+    bcv = spark.sparkContext.broadcast((ids, sh))
+
+    n_slices = 4
+
+    def emit(batches):
+        import pyarrow as pa
+
+        b_ids, b_sh = bcv.value
+        hb = b_sh.view(np.uint8).reshape(-1, 8)
+        for batch in batches:
+            for task in batch.column(0).to_pylist():
+                chunk, sl = divmod(task, n_slices)
+                vals = (b_sh >> np.uint64(chunk * width)) & mask
+                order = np.argsort(vals, kind="stable")
+                sv = vals[order]
+                seg = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+                ends = np.r_[seg[1:], len(sv)]
+                sizes = ends - seg
+                # each task owns one residue class of the bucket VALUE so
+                # a chunk's buckets split across n_slices parallel tasks
+                big = (sizes >= 2) & (sv[seg] % np.uint64(n_slices)
+                                      == np.uint64(sl))
+                if max_bucket is not None:
+                    big &= sizes <= max_bucket
+                parts_a, parts_b = [], []
+                for s, e in zip(seg[big].tolist(), ends[big].tolist()):
+                    rows = order[s:e]
+                    c = e - s
+                    parts_a.append(np.repeat(rows, c))
+                    parts_b.append(np.tile(rows, c))
+                if not parts_a:
+                    continue
+                ia = np.concatenate(parts_a)
+                ib = np.concatenate(parts_b)
+                keep = b_ids[ia] < b_ids[ib]
+                ia, ib = ia[keep], ib[keep]
+                ham = _POP8[hb[ia] ^ hb[ib]].sum(axis=1, dtype=np.int64)
+                # zero-copy Arrow emission (numpy -> pa.array shares the
+                # buffers); chunked so no single batch exceeds the
+                # serializer's comfort zone
+                n = len(ia)
+                step = 1 << 19
+                for off in range(0, n, step):
+                    sel = slice(off, min(off + step, n))
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(b_ids[ia[sel]]),
+                         pa.array(b_ids[ib[sel]]),
+                         pa.array(ham[sel].astype(np.int32))],
+                        names=["id_a", "id_b", "hamming"])
+
+    pairs = (spark.range(0, chunks * n_slices, 1,
+                         numPartitions=chunks * n_slices)
+             .mapInArrow(emit, schema=out_schema))
+    return _distinct_pairs(pairs)
+
+
 def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
                        chunks: int = 4,
                        max_bucket: Optional[int] = None) -> DataFrame:
@@ -573,6 +683,15 @@ def simhash_candidates(sim: DataFrame, id_col: str = "doc_id",
     minhash_near_dup for the same pattern and lsh_bucket_stats-style
     accounting). At larger radii use more tables over bit permutations
     rather than narrower chunks."""
+    bc = _simhash_candidates_broadcast(sim, id_col, chunks, max_bucket)
+    if bc is not None:
+        return bc
+    return _simhash_chunk_join(sim, id_col, chunks, max_bucket)
+
+
+def _simhash_chunk_join(sim: DataFrame, id_col: str, chunks: int,
+                        max_bucket) -> DataFrame:
+    """The distributed chunk self-join form of simhash_candidates."""
     width = 64 // chunks
     mask = (1 << width) - 1
     chunked = sim.select(
